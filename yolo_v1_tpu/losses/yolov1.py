@@ -1,0 +1,138 @@
+"""YOLOv1 multi-part loss — fully vectorized, no per-object Python loop.
+
+Capability parity with the reference loss (`/root/reference/v1Loss.py:22-118`)
+with the per-object CPU loop (v1Loss.py:64-78) replaced by one batched
+computation: for every cell the IoU of each of the B predicted boxes against
+the cell's ground-truth box is computed at once and an arg-max picks the
+"responsible" box.  Semantics preserved:
+
+* objectness cells are those with target conf == 1 (v1Loss.py:28);
+* class loss: summed MSE between predicted and one-hot class vectors over
+  object cells (v1Loss.py:33-41);
+* responsible box per object cell = arg-max IoU of the B predictions vs the
+  GT box, with boxes compared via center/S ± wh/2 (v1Loss.py:64-78; ties go
+  to the first box, matching torch's max);
+* object-confidence MSE pulls the responsible box's confidence toward its
+  *realized IoU*; every other slot — the non-responsible twin AND all slots
+  of empty cells — is pulled toward 0 with weight lambda_noobj
+  (v1Loss.py:80, 90-91);
+* total = lambda_coord*coord + obj_conf + lambda_noobj*noobj_conf + cls,
+  divided by the (static) batch size (v1Loss.py:104-105).
+
+Deliberate divergences (documented per SURVEY.md §7):
+
+* Coordinate loss is the paper-correct per-responsible-box
+  ``(dx² + dy²) + (sqrt(w)-sqrt(ŵ))² + (sqrt(h)-sqrt(ĥ))²``.  The reference
+  instead slices the *rows* of the matched-box list with ``[:2]``/``[2:]``
+  (v1Loss.py:101), giving the first two matched objects an xy-MSE over all
+  four coords and the rest a sqrt-MSE over all four — an indexing bug whose
+  behavior depends on the number of objects in the batch.
+* The IoU confidence target is stop-gradiented by default
+  (``iou_target_stop_gradient=True``).  In the reference, gradients leak
+  through the IoU target into the box coordinates; set the flag False for
+  that behavior.
+* sqrt uses a clamp at 1e-12 so the gradient at exactly-zero width/height
+  (sigmoid output 0) is finite.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from yolo_v1_tpu.core.boxes import cell_cxcywh_to_xyxy, elementwise_iou
+
+
+@dataclass(frozen=True)
+class YoloV1LossConfig:
+    S: int = 7
+    B: int = 2
+    C: int = 20
+    lambda_coord: float = 5.0
+    lambda_noobj: float = 0.5
+    iou_target_stop_gradient: bool = True
+
+
+def _safe_sqrt(x: Array) -> Array:
+    return jnp.sqrt(jnp.clip(x, 1e-12, None))
+
+
+@partial(jax.jit, static_argnames=("config",))
+def yolo_v1_loss(
+    pred: Array,
+    target: Array,
+    config: YoloV1LossConfig = YoloV1LossConfig(),
+) -> tuple[Array, dict[str, Array]]:
+    """Compute the YOLOv1 loss.
+
+    Args:
+      pred: [N, S, S, B*5+C] sigmoid network output, conf-first layout.
+      target: [N, S, S, B*5+C] encoded targets (core.grid.encode_targets).
+      config: loss hyperparameters.
+
+    Returns:
+      (total_loss scalar, breakdown dict) — breakdown keys mirror the
+      reference's logged/plotted series (v1Loss.py:108, 112-116):
+      ``location``, ``confidence``, ``no_object``, ``classify`` (each already
+      divided by batch size) plus ``total`` and ``mean_iou``.
+    """
+    S, B, C = config.S, config.B, config.C
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    N = pred.shape[0]
+
+    obj = (target[..., 0] == 1.0).astype(jnp.float32)  # [N, S, S]
+
+    # --- class loss over object cells (v1Loss.py:33-41) ---
+    pred_cls = pred[..., 5 * B :]
+    gt_cls = target[..., 5 * B :]
+    cls_loss = jnp.sum(obj[..., None] * (pred_cls - gt_cls) ** 2)
+
+    # --- responsible-box assignment (vectorized v1Loss.py:64-78) ---
+    pred_boxes = pred[..., B : 5 * B].reshape(N, S, S, B, 4)
+    gt_box = target[..., B : B + 4]  # all B slots identical (encoder)
+    pred_xyxy = cell_cxcywh_to_xyxy(pred_boxes, S)  # [N,S,S,B,4]
+    gt_xyxy = cell_cxcywh_to_xyxy(gt_box, S)[..., None, :]  # [N,S,S,1,4]
+    ious = elementwise_iou(pred_xyxy, jnp.broadcast_to(gt_xyxy, pred_xyxy.shape))
+    resp = jax.nn.one_hot(jnp.argmax(ious, axis=-1), B, dtype=jnp.float32)
+    contain = resp * obj[..., None]  # [N, S, S, B]
+    not_contain = 1.0 - contain
+
+    # --- confidence losses (v1Loss.py:90-91) ---
+    pred_conf = pred[..., :B]
+    iou_target = ious
+    if config.iou_target_stop_gradient:
+        iou_target = jax.lax.stop_gradient(iou_target)
+    obj_conf_loss = jnp.sum(contain * (pred_conf - iou_target) ** 2)
+    noobj_conf_loss = jnp.sum(not_contain * pred_conf**2)
+
+    # --- coordinate loss, paper-correct (diverges from v1Loss.py:101) ---
+    gt_boxes_b = target[..., B : 5 * B].reshape(N, S, S, B, 4)
+    xy_err = jnp.sum((pred_boxes[..., :2] - gt_boxes_b[..., :2]) ** 2, axis=-1)
+    wh_err = jnp.sum(
+        (_safe_sqrt(pred_boxes[..., 2:]) - _safe_sqrt(gt_boxes_b[..., 2:])) ** 2,
+        axis=-1,
+    )
+    coord_loss = jnp.sum(contain * (xy_err + wh_err))
+
+    total = (
+        config.lambda_coord * coord_loss
+        + obj_conf_loss
+        + config.lambda_noobj * noobj_conf_loss
+        + cls_loss
+    ) / N
+
+    n_obj = jnp.maximum(jnp.sum(obj), 1.0)
+    breakdown = {
+        "location": coord_loss / N,
+        "confidence": obj_conf_loss / N,
+        "no_object": noobj_conf_loss / N,
+        "classify": cls_loss / N,
+        "total": total,
+        "mean_iou": jnp.sum(contain * ious) / n_obj,
+    }
+    return total, breakdown

@@ -1,0 +1,164 @@
+"""ResNet backbones with YOLOv1 detection heads (flax.linen, NHWC).
+
+Capability parity with `/root/reference/backbones/OriginResNet.py`:
+
+* stem: 7x7/2 conv + BN + ReLU + 3x3/2 max pool (:121-125);
+* four residual stages with torchvision block structure (:126-129);
+* **when S == 7 an extra stride-2 stage ``layer5`` of the same block type**
+  (:131-132) takes the 14x14 map to 7x7;
+* detection head: 1x1 conv to B*5+C + BN + sigmoid (:133-134, 186-189),
+  already NHWC here (no permute needed).
+* constructors resnet18/34/50/101/152 and the resnext variants using the
+  reference's width formula ``width_per_group * groups * 2**i`` (:117).
+
+Deliberate divergence: the reference hard-codes the head input width to 2048
+(:133), which crashes for BasicBlock nets (resnet18/34 output 512 channels);
+here the head always consumes the actual feature width, so every constructor
+actually works.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yolo_v1_tpu.models.common import DetectionHead, batch_norm, conv, max_pool_3x3_s2
+
+Dtype = Any
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs with identity shortcut (OriginResNet.py:32-66)."""
+
+    planes: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        identity = x
+        out = conv(self.planes, 3, self.stride, dtype=self.dtype, name="conv1")(x)
+        out = batch_norm(train, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, dtype=self.dtype, name="conv2")(out)
+        out = batch_norm(train, name="bn2")(out)
+        if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
+            identity = conv(
+                self.planes * self.expansion,
+                1,
+                self.stride,
+                dtype=self.dtype,
+                name="downsample_conv",
+            )(x)
+            identity = batch_norm(train, name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride, groups) -> 1x1 bottleneck (OriginResNet.py:69-107)."""
+
+    planes: int
+    stride: int = 1
+    groups: int = 1
+    dtype: Dtype = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        identity = x
+        out = conv(self.planes, 1, dtype=self.dtype, name="conv1")(x)
+        out = batch_norm(train, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(
+            self.planes, 3, self.stride, groups=self.groups, dtype=self.dtype,
+            name="conv2",
+        )(out)
+        out = batch_norm(train, name="bn2")(out)
+        out = nn.relu(out)
+        out = conv(self.planes * self.expansion, 1, dtype=self.dtype, name="conv3")(out)
+        out = batch_norm(train, name="bn3")(out)
+        if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
+            identity = conv(
+                self.planes * self.expansion,
+                1,
+                self.stride,
+                dtype=self.dtype,
+                name="downsample_conv",
+            )(x)
+            identity = batch_norm(train, name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet/ResNeXt detector: image [N,448,448,3] -> grid [N,S,S,B*5+C]."""
+
+    stage_sizes: Sequence[int]
+    bottleneck: bool = True
+    S: int = 7
+    B: int = 2
+    num_classes: int = 20
+    groups: int = 1
+    width_per_group: int = 64
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # Reference width schedule (OriginResNet.py:117).
+        planes = [self.width_per_group * self.groups * (2**i) for i in range(5)]
+        block_cls = Bottleneck if self.bottleneck else BasicBlock
+        x = x.astype(self.dtype)
+        x = conv(planes[0], 7, 2, dtype=self.dtype, name="conv1")(x)
+        x = batch_norm(train, name="bn1")(x)
+        x = nn.relu(x)
+        x = max_pool_3x3_s2(x)
+
+        stage_planes = [planes[0], planes[1], planes[2], planes[3]]
+        stage_strides = [1, 2, 2, 2]
+        if self.S == 7:
+            # Extra stride-2 stage repeating the last config
+            # (OriginResNet.py:131-132).
+            stage_planes.append(planes[3])
+            stage_strides.append(2)
+        for s_idx, (p, st) in enumerate(zip(stage_planes, stage_strides)):
+            n_blocks = self.stage_sizes[min(s_idx, len(self.stage_sizes) - 1)]
+            for b_idx in range(n_blocks):
+                kwargs = dict(
+                    planes=p,
+                    stride=st if b_idx == 0 else 1,
+                    dtype=self.dtype,
+                    name=f"layer{s_idx + 1}_{b_idx}",
+                )
+                if self.bottleneck:
+                    kwargs["groups"] = self.groups
+                x = block_cls(**kwargs)(x, train)
+        x = x.astype(self.dtype)
+        return DetectionHead(self.B, self.num_classes, dtype=self.dtype)(x, train)
+
+
+def _ctor(stage_sizes, bottleneck, groups=1, width_per_group=64):
+    def build(S: int = 7, B: int = 2, num_classes: int = 20, dtype=jnp.bfloat16):
+        assert S in (7, 14), "S must be 7 or 14 (OriginResNet.py:225-227)"
+        return ResNet(
+            stage_sizes=tuple(stage_sizes),
+            bottleneck=bottleneck,
+            S=S,
+            B=B,
+            num_classes=num_classes,
+            groups=groups,
+            width_per_group=width_per_group,
+            dtype=dtype,
+        )
+
+    return build
+
+
+resnet18 = _ctor([2, 2, 2, 2], bottleneck=False)
+resnet34 = _ctor([3, 4, 6, 3], bottleneck=False)
+resnet50 = _ctor([3, 4, 6, 3], bottleneck=True)
+resnet101 = _ctor([3, 4, 23, 3], bottleneck=True)
+resnet152 = _ctor([3, 8, 36, 3], bottleneck=True)
+resnext50_32x4d = _ctor([3, 4, 6, 3], bottleneck=True, groups=4, width_per_group=32)
+resnext101_32x8d = _ctor([3, 4, 23, 3], bottleneck=True, groups=8, width_per_group=32)
