@@ -1,0 +1,110 @@
+"""Benchmark: batched inference throughput of the flagship detector.
+
+Measures images/sec through the full serving path — ResNet-50-S7 bf16
+forward + grid decode + NMS, all in one jit — on the default JAX device
+(the real TPU chip under the driver).  Baseline: the reference's recorded
+inference+eval loop throughput, 39.71 it/s at batch 1 on its CUDA GPU
+(BASELINE.md: testCodes/resnet_result.txt "4861it [02:02, 39.71it/s]").
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+Everything else goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_IPS = 39.71  # reference GPU inference it/s at bs=1
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_v1_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from yolo_v1_tpu.eval.voc_map import make_detector
+    from yolo_v1_tpu.models.registry import build_model
+    from yolo_v1_tpu.train.state import TrainState
+
+    batch = 64
+    iters = 30
+    dev = jax.devices()[0]
+    log(f"device: {dev}, batch {batch}")
+
+    model = build_model("resnet50", S=7, dtype=jnp.bfloat16)
+    images = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, (batch, 448, 448, 3)), jnp.float32
+    )
+    t0 = time.perf_counter()
+    variables = model.init(jax.random.PRNGKey(0), images[:1], train=False)
+    log(f"init: {time.perf_counter() - t0:.1f}s")
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=None,
+        opt_state=None,
+    )
+    detector = make_detector(S=7, score_threshold=0.005, nms_threshold=0.45)
+
+    # Two distinct inputs so no layer of the stack can alias results.
+    images2 = jnp.asarray(
+        np.random.default_rng(1).normal(0, 1, (batch, 448, 448, 3)), jnp.float32
+    )
+    inputs = [images, images2]
+
+    t0 = time.perf_counter()
+    np.asarray(detector(state, images)[1])
+    log(f"compile+first batch: {time.perf_counter() - t0:.1f}s")
+
+    def run(n: int) -> float:
+        """Dispatch n batches, fetch only the last result (device executes
+        serially, so one final fetch syncs the chain).  block_until_ready is
+        not trustworthy through tunneled-device relays — a host round-trip
+        for real output data is."""
+        t0 = time.perf_counter()
+        out = None
+        for i in range(n):
+            out = detector(state, inputs[i % 2])
+        np.asarray(out[1])
+        return time.perf_counter() - t0
+
+    # Marginal per-batch time: subtract the single-batch time (which is
+    # dominated by host<->device latency) from a long pipelined chain.
+    t1 = min(run(1) for _ in range(2))
+    tn = min(run(iters + 1) for _ in range(2))
+    per_batch = (tn - t1) / iters
+    ips = batch / per_batch
+    log(
+        f"t1={t1 * 1e3:.1f}ms t{iters + 1}={tn * 1e3:.1f}ms -> "
+        f"{per_batch * 1e3:.2f}ms/batch, {ips:.1f} images/sec"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "resnet50_s7_bf16_batched_inference_448px",
+                "value": round(ips, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(ips / BASELINE_IPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

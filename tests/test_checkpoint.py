@@ -1,0 +1,147 @@
+"""Checkpoint tests: Orbax save/restore roundtrip with optimizer state, and
+the torch->flax weight importer (the analog of train.py:62-78's surgery)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_v1_tpu.models.registry import build_model
+from yolo_v1_tpu.train.checkpoint import (
+    CheckpointManager, _torch_key_to_path, import_torch_state_dict,
+)
+from yolo_v1_tpu.train.state import create_train_state, make_optimizer
+
+
+def _state(S=7, model_name="tiny"):
+    model = build_model(model_name, S=S, dtype=jnp.float32)
+    tx = make_optimizer(lambda s: 1e-2, "sgd", momentum=0.9)
+    return create_train_state(model, jax.random.PRNGKey(0), (1, 16 * S, 16 * S, 3), tx)
+
+
+def test_save_restore_roundtrip(tmp_path):
+    state = _state()
+    # Mutate so the restored values are distinguishable from re-init.
+    state = state.replace(
+        step=jnp.asarray(42, jnp.int32),
+        params=jax.tree.map(lambda x: x + 1.5, state.params),
+    )
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state, epoch=7, best=False)
+    assert mgr.exists(best=False) and not mgr.exists(best=True)
+
+    fresh = _state()
+    restored, epoch = mgr.restore(fresh)
+    assert epoch == 7
+    assert int(restored.step) == 42
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_best_and_latest_are_separate(tmp_path):
+    state = _state()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state, epoch=1, best=True)
+    mgr.save(state.replace(step=jnp.asarray(9, jnp.int32)), epoch=2, best=False)
+    _, e_best = mgr.restore(_state(), best=True)
+    _, e_latest = mgr.restore(_state(), best=False)
+    assert (e_best, e_latest) == (1, 2)
+
+
+def test_torch_key_mapping_resnet():
+    f = lambda k: _torch_key_to_path(k, "resnet")
+    assert f("conv1.weight") == ("params", "conv1", "kernel")
+    assert f("module.conv1.weight") == ("params", "conv1", "kernel")
+    assert f("bn1.running_mean") == ("batch_stats", "bn1", "mean")
+    assert f("layer2.3.conv2.weight") == ("params", "layer2_3", "conv2", "kernel")
+    assert f("layer1.0.downsample.0.weight") == (
+        "params", "layer1_0", "downsample_conv", "kernel")
+    assert f("layer1.0.downsample.1.bias") == (
+        "params", "layer1_0", "downsample_bn", "bias")
+    assert f("layer6.weight") == ("params", "head", "conv", "kernel")
+    assert f("bn_end.running_var") == ("batch_stats", "head", "bn", "var")
+    assert f("fc.weight") is None
+    assert f("bn1.num_batches_tracked") is None
+
+
+def test_torch_key_mapping_densenet():
+    f = lambda k: _torch_key_to_path(k, "densenet")
+    assert f("features.conv0.weight") == ("params", "conv0", "kernel")
+    assert f("features.denseblock2.denselayer11.conv1.weight") == (
+        "params", "block2_layer11", "conv1", "kernel")
+    assert f("features.denseblock1.denselayer1.norm2.running_var") == (
+        "batch_stats", "block1_layer1", "norm2", "var")
+    assert f("features.transition3.conv.weight") == (
+        "params", "transition3", "conv", "kernel")
+    assert f("features.norm5.weight") == ("params", "norm5", "scale")
+    assert f("classifier.weight") is None
+
+
+def test_import_torch_resnet50_trunk():
+    """A synthetic torchvision-keyed state dict lands in the right places;
+    layer5 (S=7 extra stage) and the head stay at init — exactly the
+    reference's filtered copy (train.py:62-67)."""
+    state = _state(model_name="resnet50", S=7)
+    sd = {
+        "conv1.weight": np.full((64, 3, 7, 7), 0.5, np.float32),
+        "bn1.weight": np.full((64,), 2.0, np.float32),
+        "bn1.running_mean": np.full((64,), 3.0, np.float32),
+        "layer1.0.conv1.weight": np.full((64, 64, 1, 1), 0.25, np.float32),
+        "layer1.0.downsample.0.weight": np.full((256, 64, 1, 1), 0.125, np.float32),
+        "fc.weight": np.zeros((1000, 2048), np.float32),  # must be skipped
+        "layer9.0.conv1.weight": np.zeros((1, 1, 1, 1), np.float32),  # bogus
+    }
+    params, stats, report = import_torch_state_dict(
+        sd, state.params, state.batch_stats, "resnet"
+    )
+    np.testing.assert_allclose(params["conv1"]["kernel"], 0.5)
+    assert params["conv1"]["kernel"].shape == (7, 7, 3, 64)
+    np.testing.assert_allclose(params["bn1"]["scale"], 2.0)
+    np.testing.assert_allclose(stats["bn1"]["mean"], 3.0)
+    np.testing.assert_allclose(params["layer1_0"]["conv1"]["kernel"], 0.25)
+    np.testing.assert_allclose(
+        params["layer1_0"]["downsample_conv"]["kernel"], 0.125
+    )
+    assert "fc.weight" in report["skipped_missing"]
+    assert "layer9.0.conv1.weight" in report["skipped_missing"]
+    assert len(report["copied"]) == 5
+    # Head untouched (random init, nonconstant)
+    head = np.asarray(params["head"]["conv"]["kernel"])
+    assert head.std() > 0
+
+
+def test_import_shape_mismatch_skipped():
+    state = _state(model_name="resnet50", S=7)
+    sd = {"conv1.weight": np.zeros((64, 3, 3, 3), np.float32)}  # wrong kernel
+    params, stats, report = import_torch_state_dict(
+        sd, state.params, state.batch_stats, "resnet"
+    )
+    assert report["skipped_shape"] == ["conv1.weight"]
+
+
+def test_import_densenet_keys_exist_in_model():
+    """Every torchvision densenet121 trunk key pattern must resolve to a
+    real node of our S=14 densenet121 tree."""
+    state = _state(model_name="densenet121", S=14)
+    params, stats = state.params, state.batch_stats
+    block_sizes = {1: 6, 2: 12, 3: 24, 4: 16}
+    keys = ["features.conv0.weight", "features.norm0.weight",
+            "features.norm5.running_mean"]
+    for b, n in block_sizes.items():
+        for l in range(1, n + 1):
+            keys.append(f"features.denseblock{b}.denselayer{l}.conv2.weight")
+    for t in (1, 2, 3):
+        keys.append(f"features.transition{t}.conv.weight")
+    for key in keys:
+        path = _torch_key_to_path(key, "densenet")
+        assert path is not None, key
+        coll, *mods, leaf = path
+        node = {"params": params, "batch_stats": stats}[coll]
+        for mod in mods:
+            assert mod in node, (key, mod)
+            node = node[mod]
+        assert leaf in node, key

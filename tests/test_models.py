@@ -1,0 +1,71 @@
+"""Backbone shape tests at S=7/14 (analog of the reference __main__ smoke
+tests, OriginResNet.py:270-295 / OriginDenseNet.py:206-230) plus param-count
+sanity and head-output range checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_v1_tpu.models.registry import available_models, build_model
+
+
+@pytest.mark.parametrize("name,S", [
+    ("resnet50", 7),
+    ("resnet50", 14),
+    ("densenet121", 7),
+    ("densenet121", 14),
+])
+def test_flagship_output_shapes(name, S):
+    model = build_model(name, S=S, dtype=jnp.float32)
+    x = jnp.zeros((1, 448, 448, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, S, S, 30)
+    assert out.dtype == jnp.float32
+    o = np.asarray(out)
+    assert (o >= 0).all() and (o <= 1).all()  # sigmoid head
+
+
+@pytest.mark.parametrize("name", ["resnet18", "resnet34"])
+def test_basicblock_variants_work(name):
+    # The reference's 2048-channel hardcoded head crashes for these
+    # (OriginResNet.py:133); ours must work.
+    model = build_model(name, S=7, dtype=jnp.float32)
+    x = jnp.zeros((1, 448, 448, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    assert model.apply(variables, x, train=False).shape == (1, 7, 7, 30)
+
+
+def test_resnet50_param_count():
+    # ResNet-50 trunk ~23.5M params; with layer5 (S=7) + head it grows.
+    model = build_model("resnet50", S=7, dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 448, 448, 3)), train=False
+    )
+    n = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    assert 30e6 < n < 60e6, n
+
+
+def test_batch_stats_updated_in_train_mode():
+    model = build_model("resnet18", S=14, dtype=jnp.float32)
+    x = jnp.ones((2, 448, 448, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out, mutated = model.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    # Running stats must move away from init (mean 0) on constant input 1.
+    leaves_before = jax.tree.leaves(variables["batch_stats"])
+    leaves_after = jax.tree.leaves(mutated["batch_stats"])
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves_before, leaves_after)
+    )
+    assert changed
+
+
+def test_registry_aliases():
+    assert "resnet" in available_models()
+    assert "densenet" in available_models()
+    with pytest.raises(KeyError):
+        build_model("yolo9000")

@@ -1,0 +1,159 @@
+"""Data pipeline tests over a synthetic VOC tree: parsing, loading,
+augmentation box bookkeeping, batch loader determinism, target encoding."""
+
+import numpy as np
+import pytest
+
+from yolo_v1_tpu.data.augment import AugmentConfig, augment_sample
+from yolo_v1_tpu.data.pipeline import (
+    BatchLoader, PipelineConfig, YoloDataset, collate,
+)
+from yolo_v1_tpu.data.voc import (
+    image_id_of, label_path_for_image, load_gt_boxes, prep_test_data,
+)
+
+
+def cfg112():
+    return PipelineConfig(image_size=112, S=7, num_workers=2)
+
+
+def test_label_path_convention():
+    assert (
+        label_path_for_image("/d/JPEGImages/img001.jpg") == "/d/labels/img001.txt"
+    )
+    assert image_id_of("/d/JPEGImages/img001.jpg") == "img001"
+
+
+def test_dataset_loads_and_normalizes(voc_tree):
+    list_file, gt = voc_tree
+    ds = YoloDataset(list_file, train=False, config=cfg112())
+    assert len(ds) == 8
+    img, boxes, labels = ds.load_sample(0)
+    assert img.shape == (112, 112, 3)
+    assert img.dtype == np.float32
+    assert abs(img.mean()) < 3.0  # normalized scale
+    name = image_id_of(ds.image_path(0))
+    assert len(boxes) == len(gt[name])
+    np.testing.assert_allclose(
+        boxes, [list(b[1:]) for b in gt[name]], atol=1e-6
+    )
+
+
+def test_load_gt_boxes_pixel_convention(voc_tree):
+    list_file, gt = voc_tree
+    ds = YoloDataset(list_file, train=False, config=cfg112())
+    path = ds.image_path(0)
+    out = load_gt_boxes(path, img_size=(448, 448))
+    name = image_id_of(path)
+    for (label, x0, y0, x1, y1), (cls, cx, cy, w, h) in zip(out, gt[name]):
+        assert label == cls
+        assert x0 == int((cx - w / 2) * 448)
+        assert y1 == int((cy + h / 2) * 448)
+
+
+def test_prep_test_data_structure(voc_tree):
+    list_file, gt = voc_tree
+    target = prep_test_data(list_file)
+    n_boxes = sum(len(v) for v in target.values())
+    assert n_boxes == sum(len(v) for v in gt.values())
+    for (img_id, cls_name), boxes in target.items():
+        assert img_id.startswith("img")
+        for b in boxes:
+            assert len(b) == 4
+
+
+def test_prep_test_data_little(voc_tree):
+    list_file, gt = voc_tree
+    little = prep_test_data(list_file, little_test=3)
+    ids = {k[0] for k in little}
+    assert ids <= {"img000", "img001", "img002"}
+
+
+def test_augment_deterministic(voc_tree):
+    list_file, _ = voc_tree
+    ds = YoloDataset(list_file, train=True, config=cfg112())
+    a = ds.load_sample(1, epoch=5)
+    b = ds.load_sample(1, epoch=5)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    # Some other epoch must draw a different augmentation (any single epoch
+    # can no-op with prob ~16%, so check a handful).
+    assert any(
+        not np.array_equal(a[0], ds.load_sample(1, epoch=e)[0])
+        for e in range(6, 12)
+    )
+
+
+def test_augment_flip_boxes(rng):
+    img = np.zeros((64, 64, 3), np.uint8)
+    boxes = np.array([[0.25, 0.5, 0.2, 0.3]], np.float32)
+    labels = np.array([2], np.int32)
+    cfg = AugmentConfig(
+        pixel_prob=0.0, flip_lr_prob=1.0, flip_ud_prob=0.0, affine_prob=0.0
+    )
+    _, out, out_labels = augment_sample(img, boxes, labels, rng, cfg)
+    np.testing.assert_allclose(out[0], [0.75, 0.5, 0.2, 0.3], atol=1e-5)
+    assert out_labels.tolist() == [2]
+
+
+def test_augment_removes_translated_out_boxes(rng):
+    img = np.zeros((64, 64, 3), np.uint8)
+    # Box near the left edge; huge right-translation pushes it out.
+    boxes = np.array([[0.05, 0.5, 0.08, 0.2]], np.float32)
+    labels = np.array([1], np.int32)
+    cfg = AugmentConfig(
+        pixel_prob=0.0, flip_lr_prob=0.0, flip_ud_prob=0.0, affine_prob=1.0,
+        scale_range=(1.0, 1.0), rotate_range=(0.0, 0.0),
+        translate_range=(-0.5, -0.5),
+    )
+    _, out, out_labels = augment_sample(img, boxes, labels, rng, cfg)
+    assert len(out) == 0 and len(out_labels) == 0
+
+
+def test_augment_pixel_ops_run(rng):
+    img = np.full((64, 64, 3), 128, np.uint8)
+    boxes = np.array([[0.5, 0.5, 0.4, 0.4]], np.float32)
+    labels = np.array([0], np.int32)
+    cfg = AugmentConfig(pixel_prob=1.0, flip_lr_prob=0, flip_ud_prob=0,
+                        affine_prob=0)
+    for seed in range(10):
+        g = np.random.default_rng(seed)
+        out, b, l = augment_sample(img.copy(), boxes, labels, g, cfg)
+        assert out.shape == img.shape and out.dtype == np.uint8
+        np.testing.assert_allclose(b, boxes, atol=1e-6)  # pixel ops keep boxes
+
+
+def test_batch_loader_yields_encoded(voc_tree):
+    list_file, _ = voc_tree
+    ds = YoloDataset(list_file, train=True, config=cfg112())
+    loader = BatchLoader(ds, batch_size=4)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    images, targets = batches[0]
+    assert images.shape == (4, 112, 112, 3)
+    assert targets.shape == (4, 7, 7, 30)
+    # Every image in the fixture has at least one object; augmentation can
+    # occasionally clip all boxes away, so check most grids have an object.
+    n_obj = sum((t[..., 0] == 1).any() for b in batches for t in b[1])
+    assert n_obj >= 6
+
+
+def test_batch_loader_shuffles_by_epoch(voc_tree):
+    list_file, _ = voc_tree
+    ds = YoloDataset(list_file, train=False, config=cfg112())
+    loader = BatchLoader(ds, batch_size=8, shuffle=True, encode=False)
+    (im0, *_), = list(loader.epoch(0))
+    (im1, *_), = list(loader.epoch(1))
+    assert not np.array_equal(im0, im1)
+
+
+def test_collate_pads_and_truncates():
+    samples = [
+        (np.zeros((8, 8, 3), np.float32),
+         np.full((70, 4), 0.5, np.float32), np.arange(70, dtype=np.int32)),
+        (np.zeros((8, 8, 3), np.float32),
+         np.zeros((0, 4), np.float32), np.zeros((0,), np.int32)),
+    ]
+    images, boxes, labels, counts = collate(samples, max_boxes=64)
+    assert boxes.shape == (2, 64, 4)
+    assert counts.tolist() == [64, 0]

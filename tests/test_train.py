@@ -1,0 +1,144 @@
+"""Train-stack tests: LR schedule parity, jitted train step (single device
+and 8-device mesh), loss-decreases smoke, fit() orchestration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_v1_tpu.core.grid import encode_targets
+from yolo_v1_tpu.losses.yolov1 import YoloV1LossConfig
+from yolo_v1_tpu.models.registry import build_model
+from yolo_v1_tpu.parallel.mesh import make_mesh, shard_batch
+from yolo_v1_tpu.train.loop import FitConfig, fit, jit_train_step
+from yolo_v1_tpu.train.schedule import make_lr_schedule
+from yolo_v1_tpu.train.state import create_train_state, make_optimizer
+
+
+def ref_lr_trace(num_iters, steps_per_epoch, lr_map={1: 1e-3, 75: 1e-4, 115: 1e-5}):
+    """Numpy port of the reference's mutable-LR policy
+    (train.py:22-32, 158)."""
+    lr = 0.0
+    out = []
+    it = 0
+    epoch = 0
+    while it < num_iters:
+        for _ in range(steps_per_epoch):
+            it += 1
+            if it <= 1000:
+                lr += 1e-6
+            if epoch in lr_map:
+                lr = lr_map[epoch]
+            out.append(lr)
+            if it >= num_iters:
+                break
+        epoch += 1
+    return np.array(out)
+
+
+def test_schedule_matches_reference_trace():
+    steps_per_epoch = 1100  # warmup completes inside epoch 0, like VOC
+    sched = make_lr_schedule(steps_per_epoch)
+    n = steps_per_epoch * 3
+    got = np.array([float(sched(i)) for i in range(0, n, 97)])
+    want = ref_lr_trace(n, steps_per_epoch)[::97]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_schedule_late_epochs():
+    spe = 100
+    sched = make_lr_schedule(spe)
+    assert float(sched(spe * 50)) == pytest.approx(1e-3)
+    assert float(sched(spe * 80)) == pytest.approx(1e-4)
+    assert float(sched(spe * 120)) == pytest.approx(1e-5)
+    assert float(sched(0)) == pytest.approx(1e-6)
+    assert float(sched(999)) == pytest.approx(1e-3)
+
+
+def _tiny_setup(S=7, batch=8, lr=1e-2):
+    model = build_model("tiny", S=S)
+    tx = make_optimizer(lambda step: lr, "sgd", momentum=0.9)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (batch, 16 * S, 16 * S, 3), tx
+    )
+    rng = np.random.default_rng(1)
+    images = rng.normal(0, 1, (batch, 16 * S, 16 * S, 3)).astype(np.float32)
+    boxes = np.tile(np.array([[0.5, 0.5, 0.4, 0.4]], np.float32), (batch, 1))[:, None]
+    labels = np.full((batch, 1), 3, np.int32)
+    targets = np.asarray(
+        encode_targets(boxes, labels, np.ones(batch, np.int32), S=S)
+    )
+    return state, images, targets
+
+
+def test_train_step_single_device_loss_decreases():
+    state, images, targets = _tiny_setup()
+    step = jit_train_step(YoloV1LossConfig(S=7))
+    losses = []
+    for _ in range(10):
+        state, parts = step(state, jnp.asarray(images), jnp.asarray(targets))
+        losses.append(float(parts["total"]))
+    assert losses[-1] < losses[0] * 0.8, losses
+    assert int(state.step) == 10
+
+
+def test_train_step_sharded_matches_single_device():
+    """DP over the 8-device CPU mesh must give the same numbers as one
+    device (same global batch, XLA inserts the all-reduce)."""
+    mesh = make_mesh(8)
+    state1, images, targets = _tiny_setup()
+    state8, _, _ = _tiny_setup()
+
+    step1 = jit_train_step(YoloV1LossConfig(S=7))
+    step8 = jit_train_step(YoloV1LossConfig(S=7), mesh)
+
+    im8, tg8 = shard_batch(mesh, images, targets)
+    # One step: float reduction order differs across shardings and the
+    # responsible-box argmax makes training chaotic over many steps, so
+    # exact long-horizon agreement isn't expected — but a single update
+    # must agree tightly.
+    state1, parts1 = step1(state1, jnp.asarray(images), jnp.asarray(targets))
+    state8, parts8 = step8(state8, im8, tg8)
+    np.testing.assert_allclose(
+        float(parts1["total"]), float(parts8["total"]), rtol=1e-4
+    )
+    p1 = jax.tree.leaves(state1.params)
+    p8 = jax.tree.leaves(state8.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fit_smoke(tmp_path):
+    """fit() runs epochs, logs metrics, returns decreasing epoch losses."""
+    from yolo_v1_tpu.train.metrics import MetricWriter
+
+    state, images, targets = _tiny_setup()
+
+    def loader(epoch):
+        for _ in range(4):
+            yield images, targets
+
+    writer = MetricWriter(str(tmp_path))
+    state, result = fit(
+        state,
+        loader,
+        YoloV1LossConfig(S=7),
+        config=FitConfig(num_epochs=3, log_every=2),
+        metric_writer=writer,
+    )
+    assert len(result.epoch_losses) == 3
+    assert result.epoch_losses[-1] < result.epoch_losses[0]
+    assert "train loss" in writer.history
+    assert len(writer.history["train loss"]) == 3
+    writer.close()
+    assert (tmp_path / "metrics.csv").exists()
+
+
+def test_adam_optimizer_variant():
+    state, images, targets = _tiny_setup()
+    tx = make_optimizer(lambda s: 1e-3, "adam")
+    state = state.replace(tx=tx, opt_state=tx.init(state.params))
+    step = jit_train_step(YoloV1LossConfig(S=7))
+    for _ in range(3):
+        state, parts = step(state, jnp.asarray(images), jnp.asarray(targets))
+    assert np.isfinite(float(parts["total"]))

@@ -1,0 +1,243 @@
+"""Command-line entry points: train / map / visualize / prepare-data.
+
+Replaces the reference's run-the-script-directly workflow:
+
+* ``train``        <-> ``python train.py``       (/root/reference/train.py)
+* ``map``          <-> ``python run_voc_mAP.py`` (standalone mAP on a ckpt)
+* ``visualize``    <-> ``python eval.py``        (draw predictions)
+* ``prepare-data`` <-> ``python testCodes/voc_label.py`` (XML -> labels)
+
+Usage: ``python -m yolo_v1_tpu.cli <command> [--flag value ...]``
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_v1_tpu.configs.config import ExperimentConfig
+from yolo_v1_tpu.data.pipeline import BatchLoader, PipelineConfig, YoloDataset
+from yolo_v1_tpu.data.voc import prep_test_data
+from yolo_v1_tpu.eval.voc_map import VocEvaluator
+from yolo_v1_tpu.losses.yolov1 import YoloV1LossConfig
+from yolo_v1_tpu.models.registry import build_model
+from yolo_v1_tpu.parallel.mesh import make_mesh
+from yolo_v1_tpu.train import checkpoint as ckpt
+from yolo_v1_tpu.train.loop import FitConfig, fit
+from yolo_v1_tpu.train.metrics import MetricWriter
+from yolo_v1_tpu.train.schedule import make_lr_schedule
+from yolo_v1_tpu.train.state import create_train_state, make_optimizer
+from yolo_v1_tpu.utils.logging import create_logger
+
+
+def _pipeline_config(cfg: ExperimentConfig) -> PipelineConfig:
+    return PipelineConfig(
+        image_size=cfg.image_size, S=cfg.S, B=cfg.B, C=cfg.num_classes,
+        seed=cfg.seed, num_workers=cfg.num_workers,
+    )
+
+
+def _build_state(cfg: ExperimentConfig, steps_per_epoch: int, logger=None):
+    dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    model = build_model(
+        cfg.backbone, S=cfg.S, B=cfg.B, num_classes=cfg.num_classes, dtype=dtype
+    )
+    schedule = make_lr_schedule(
+        steps_per_epoch, cfg.warmup_increment, cfg.warmup_iters, cfg.lr_adjust_map
+    )
+    tx = make_optimizer(schedule, cfg.optimizer, cfg.momentum)
+    state = create_train_state(
+        model,
+        jax.random.PRNGKey(cfg.seed),
+        (1, cfg.image_size, cfg.image_size, 3),
+        tx,
+    )
+    if cfg.pretrained_torch:
+        arch = "densenet" if cfg.backbone.startswith("densenet") else "resnet"
+        sd = ckpt.load_torch_file(cfg.pretrained_torch)
+        params, stats, report = ckpt.import_torch_state_dict(
+            sd, state.params, state.batch_stats, arch
+        )
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, params),
+            batch_stats=jax.tree.map(jnp.asarray, stats),
+        )
+        if logger:
+            logger.info(
+                "imported %d torch tensors (%d skipped)",
+                len(report["copied"]),
+                len(report["skipped_missing"]) + len(report["skipped_shape"]),
+            )
+    return state
+
+
+def cmd_train(argv: list[str]) -> int:
+    cfg = ExperimentConfig.from_args(argv)
+    save_dir = cfg.resolved_save_dir()
+    logger = create_logger(save_dir, "train")
+    writer = MetricWriter(save_dir, logger=logger)
+    pipe_cfg = _pipeline_config(cfg)
+
+    train_ds = YoloDataset(cfg.train_list, train=True, config=pipe_cfg)
+    loader = BatchLoader(train_ds, cfg.batch_size)
+    logger.info("the dataset has %d images", len(train_ds))
+    logger.info("the batch_size is %d", cfg.batch_size)
+
+    evaluator = None
+    if cfg.test_list:
+        test_ds = YoloDataset(cfg.test_list, train=False, config=pipe_cfg)
+        evaluator = VocEvaluator(
+            test_ds,
+            gt_full=prep_test_data(cfg.test_list),
+            gt_little=prep_test_data(cfg.test_list, little_test=cfg.little_val),
+            little_n=cfg.little_val,
+            batch_size=cfg.eval_batch_size,
+            score_threshold=cfg.score_threshold,
+            nms_threshold=cfg.nms_threshold,
+            logger=logger,
+        )
+
+    state = _build_state(cfg, steps_per_epoch=max(len(loader), 1), logger=logger)
+    manager = ckpt.CheckpointManager(save_dir)
+    start_epoch = 0
+    if cfg.resume and manager.exists():
+        state, start_epoch = manager.restore(state)
+        start_epoch += 1
+        logger.info("resumed from epoch %d", start_epoch)
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    loss_cfg = YoloV1LossConfig(
+        S=cfg.S, B=cfg.B, C=cfg.num_classes,
+        lambda_coord=cfg.lambda_coord, lambda_noobj=cfg.lambda_noobj,
+    )
+    fit(
+        state,
+        loader.epoch,
+        loss_cfg,
+        mesh=mesh,
+        config=FitConfig(
+            num_epochs=cfg.num_epochs,
+            run_full_map_threshold=cfg.run_full_map_threshold,
+        ),
+        evaluator=evaluator,
+        checkpointer=manager,
+        metric_writer=writer,
+        logger=logger,
+        start_epoch=start_epoch,
+    )
+    return 0
+
+
+def cmd_map(argv: list[str]) -> int:
+    """Standalone mAP over the full test list (run_voc_mAP.py parity)."""
+    cfg = ExperimentConfig.from_args(argv)
+    save_dir = cfg.resolved_save_dir()
+    logger = create_logger(save_dir, "map")
+    pipe_cfg = _pipeline_config(cfg)
+    test_ds = YoloDataset(cfg.test_list, train=False, config=pipe_cfg)
+    state = _build_state(cfg, steps_per_epoch=1, logger=logger)
+    manager = ckpt.CheckpointManager(save_dir)
+    if manager.exists(best=True):
+        state, _ = manager.restore(state, best=True)
+    elif manager.exists():
+        state, _ = manager.restore(state)
+    else:
+        logger.warning("no checkpoint in %s; evaluating fresh weights", save_dir)
+    evaluator = VocEvaluator(
+        test_ds,
+        gt_full=prep_test_data(cfg.test_list),
+        batch_size=cfg.eval_batch_size,
+        score_threshold=cfg.score_threshold,
+        nms_threshold=cfg.nms_threshold,
+        logger=logger,
+    )
+    mAP = evaluator.full_map(state)
+    print(f"mAP: {mAP:.6f}")
+    return 0
+
+
+def cmd_visualize(argv: list[str]) -> int:
+    """Draw predictions on the first N test images (eval.py parity,
+    headless: writes <save_dir>/vis/*.jpg)."""
+    import cv2
+
+    from yolo_v1_tpu.eval.visualize import draw_detections, save_visualization
+    from yolo_v1_tpu.eval.voc_map import make_detector
+
+    cfg = ExperimentConfig.from_args(argv)
+    save_dir = cfg.resolved_save_dir()
+    logger = create_logger(save_dir, "visualize")
+    pipe_cfg = _pipeline_config(cfg)
+    test_ds = YoloDataset(cfg.test_list, train=False, config=pipe_cfg)
+    state = _build_state(cfg, steps_per_epoch=1, logger=logger)
+    manager = ckpt.CheckpointManager(save_dir)
+    if manager.exists(best=True):
+        state, _ = manager.restore(state, best=True)
+    elif manager.exists():
+        state, _ = manager.restore(state)
+    detector = make_detector(
+        cfg.S, cfg.B, cfg.num_classes,
+        score_threshold=0.1,  # eval.py:94 uses thresh .1 for visualization
+        nms_threshold=cfg.nms_threshold,
+    )
+    n = min(32, len(test_ds))
+    bs = min(cfg.eval_batch_size, n)
+    for start in range(0, n, bs):
+        idxs = list(range(start, min(start + bs, n)))
+        batch = np.stack([test_ds.load_sample(i)[0] for i in idxs])
+        if len(idxs) < bs:  # keep one compiled shape
+            batch = np.concatenate(
+                [batch, np.zeros_like(batch[:1]).repeat(bs - len(idxs), 0)]
+            )
+        boxes, scores, classes, keep = jax.tree.map(
+            np.asarray, detector(state, jnp.asarray(batch))
+        )
+        for j, i in enumerate(idxs):
+            raw, _, _ = test_ds.load_raw(i)
+            k = keep[j]
+            vis = draw_detections(raw, boxes[j][k], classes[j][k], scores[j][k])
+            save_visualization(f"{save_dir}/vis/{i:04d}.jpg", vis)
+    logger.info("wrote %d visualizations to %s/vis", n, save_dir)
+    return 0
+
+
+def cmd_prepare_data(argv: list[str]) -> int:
+    """VOCdevkit XML -> labels/*.txt + list files (voc_label.py parity)."""
+    import argparse
+
+    from yolo_v1_tpu.data.voc import convert_voc_annotations
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--devkit_base", required=True)
+    p.add_argument("--out_dir", default="datasets")
+    ns = p.parse_args(argv)
+    counts = convert_voc_annotations(ns.devkit_base, ns.out_dir)
+    for name, n in counts.items():
+        print(f"{name}: {n} images")
+    return 0
+
+
+COMMANDS = {
+    "train": cmd_train,
+    "map": cmd_map,
+    "visualize": cmd_visualize,
+    "prepare-data": cmd_prepare_data,
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    from yolo_v1_tpu.utils.cache import enable_compilation_cache
+
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] not in COMMANDS:
+        print(f"usage: python -m yolo_v1_tpu.cli {{{'|'.join(COMMANDS)}}} [flags]")
+        return 2
+    enable_compilation_cache()
+    return COMMANDS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,89 @@
+"""Dataclass configuration replacing the reference's module-level constants
+(`/root/reference/train.py:34-57`) and hardcoded name lists
+(eval.py:58-62, run_voc_mAP.py:34-44)."""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ExperimentConfig:
+    # model (train.py:40-42, 56-57)
+    backbone: str = "resnet50"
+    S: int = 14  # train.py:41
+    B: int = 2
+    num_classes: int = 20
+    bf16: bool = True
+
+    # loss (train.py:43-44)
+    lambda_coord: float = 5.0
+    lambda_noobj: float = 0.5
+
+    # optimization (train.py:37-39, 83-89; batch 16 for resnet train.py:68)
+    optimizer: str = "sgd"
+    momentum: float = 0.99
+    batch_size: int = 16
+    num_epochs: int = 200
+    warmup_increment: float = 1e-6
+    warmup_iters: int = 1000
+    lr_adjust_map: dict = field(
+        default_factory=lambda: {1: 1e-3, 75: 1e-4, 115: 1e-5}
+    )
+
+    # data (train.py:113-129)
+    train_list: str = "datasets/train.txt"
+    test_list: str = "datasets/2007_test.txt"
+    image_size: int = 448
+    num_workers: int = 4
+    seed: int = 0
+
+    # eval (train.py:127, utils/utils.py:405)
+    little_val: int = 750
+    eval_batch_size: int = 32
+    score_threshold: float = 0.005
+    nms_threshold: float = 0.45
+    run_full_map_threshold: float = 0.585
+
+    # output (train.py:91-93)
+    save_dir: str = ""
+    pretrained_torch: str = ""  # optional .pth to import (train.py:61-78)
+    resume: bool = False
+
+    def resolved_save_dir(self) -> str:
+        if self.save_dir:
+            return self.save_dir
+        # Reference naming: '<backbone>_<opt>_cellSize<S>/' (train.py:91)
+        return f"{self.backbone}_{self.optimizer}_cellSize{self.S}"
+
+    @classmethod
+    def from_args(cls, argv: list[str] | None = None) -> "ExperimentConfig":
+        import argparse
+
+        parser = argparse.ArgumentParser(description="yolo_v1_tpu")
+        for f in dataclasses.fields(cls):
+            if f.name == "lr_adjust_map":
+                parser.add_argument(
+                    "--lr_adjust_map",
+                    type=str,
+                    default="1:1e-3,75:1e-4,115:1e-5",
+                    help="epoch:lr comma-separated",
+                )
+                continue
+            kind = f.type if isinstance(f.type, type) else type(f.default)
+            if kind is bool:
+                parser.add_argument(
+                    f"--{f.name}", type=lambda v: v.lower() in ("1", "true", "yes"),
+                    default=f.default,
+                )
+            else:
+                parser.add_argument(f"--{f.name}", type=kind, default=f.default)
+        ns = parser.parse_args(argv)
+        kwargs = vars(ns)
+        lr_map = {}
+        for pair in kwargs["lr_adjust_map"].split(","):
+            k, v = pair.split(":")
+            lr_map[int(k)] = float(v)
+        kwargs["lr_adjust_map"] = lr_map
+        return cls(**kwargs)

@@ -1,0 +1,181 @@
+"""Input pipeline: list-file dataset, threaded prefetching batch loader,
+on-the-fly target encoding.
+
+Rebuilds the reference ``yoloDataset`` + torch ``DataLoader`` stack
+(`/root/reference/utils/YOLODataLoader.py:11-230`, train.py:118-121) without
+torch:
+
+* list files of absolute image paths; labels resolved via the
+  JPEGImages->labels convention (YOLODataLoader.py:94-106);
+* per-sample: imread -> RGB -> resize 448 -> (train) augment with box
+  transforms -> ImageNet normalization.  The reference feeds **BGR** images
+  to ImageNet-normalization and pretrained RGB weights
+  (cv2.imread at YOLODataLoader.py:161 is never channel-swapped) — we use
+  RGB; divergence documented;
+* target grids are encoded **batched on device** with the jitted
+  ``core.grid.encode_targets`` instead of a per-sample Python loop
+  (YOLODataLoader.py:200-230);
+* worker parallelism: a thread pool decodes/augments samples concurrently
+  and batches are prefetched one ahead (the reference uses 4 worker
+  processes, train.py:119 — threads suffice here since cv2 releases the
+  GIL).
+
+``little_train=True`` truncates to 64*8 samples like YOLODataLoader.py:85-86.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Iterator
+
+import cv2
+import numpy as np
+
+from yolo_v1_tpu.core.grid import encode_targets
+from yolo_v1_tpu.data.augment import AugmentConfig, augment_sample
+from yolo_v1_tpu.data.voc import label_path_for_image, parse_label_file, read_list_file
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)  # train.py:108
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+MAX_BOXES = 64  # VOC images top out well below this
+
+
+@dataclass
+class PipelineConfig:
+    image_size: int = 448
+    S: int = 7
+    B: int = 2
+    C: int = 20
+    augment: AugmentConfig = AugmentConfig()
+    seed: int = 0
+    num_workers: int = 4  # train.py:119
+
+
+class YoloDataset:
+    """Image+label dataset over a list file (YOLODataLoader.py:11-106)."""
+
+    def __init__(
+        self,
+        list_file: str,
+        train: bool,
+        config: PipelineConfig | None = None,
+        little_train: bool = False,
+    ):
+        self.config = config or PipelineConfig()
+        self.train = train
+        self.files = read_list_file(list_file)
+        if little_train:
+            self.files = self.files[: 64 * 8]  # YOLODataLoader.py:85-86
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def image_path(self, idx: int) -> str:
+        return self.files[idx]
+
+    def load_raw(self, idx: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """uint8 RGB image resized square + normalized cxcywh boxes + labels."""
+        cfg = self.config
+        path = self.files[idx]
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(path)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        img = cv2.resize(img, (cfg.image_size, cfg.image_size))
+        boxes, labels = parse_label_file(label_path_for_image(path))
+        return img, boxes, labels
+
+    def load_sample(
+        self, idx: int, epoch: int = 0
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """float32 normalized image + (possibly augmented) boxes/labels."""
+        cfg = self.config
+        img, boxes, labels = self.load_raw(idx)
+        if self.train:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([cfg.seed, epoch, idx])
+            )
+            img, boxes, labels = augment_sample(img, boxes, labels, rng, cfg.augment)
+        img = (img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        return img, boxes, labels
+
+
+def collate(
+    samples: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    max_boxes: int = MAX_BOXES,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Stack samples into (images, padded boxes, padded labels, counts)."""
+    n = len(samples)
+    images = np.stack([s[0] for s in samples])
+    boxes = np.zeros((n, max_boxes, 4), np.float32)
+    labels = np.zeros((n, max_boxes), np.int32)
+    counts = np.zeros((n,), np.int32)
+    for i, (_, b, l) in enumerate(samples):
+        k = min(len(b), max_boxes)
+        boxes[i, :k] = b[:k]
+        labels[i, :k] = l[:k]
+        counts[i] = k
+    return images, boxes, labels, counts
+
+
+class BatchLoader:
+    """Shuffling, prefetching batch iterator yielding (images, targets).
+
+    Targets are encoded batched via the jitted device encoder — the analog
+    of moving YOLODataLoader.encoder out of the worker hot loop.
+    """
+
+    def __init__(
+        self,
+        dataset: YoloDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        encode: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.encode = encode
+        self._pool = ThreadPoolExecutor(max_workers=dataset.config.num_workers)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int = 0) -> Iterator:
+        cfg = self.dataset.config
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(
+                np.random.SeedSequence([cfg.seed, epoch, 7919])
+            ).shuffle(order)
+        nb = len(self)
+        futures = None
+
+        def submit(bi):
+            idxs = order[bi * self.batch_size : (bi + 1) * self.batch_size]
+            return [
+                self._pool.submit(self.dataset.load_sample, int(i), epoch)
+                for i in idxs
+            ]
+
+        for bi in range(nb):
+            if futures is None:
+                futures = submit(bi)
+            ready = [f.result() for f in futures]
+            futures = submit(bi + 1) if bi + 1 < nb else None
+            images, boxes, labels, counts = collate(ready)
+            if not self.encode:
+                yield images, boxes, labels, counts
+                continue
+            targets = np.asarray(
+                encode_targets(
+                    boxes, labels, counts, S=cfg.S, B=cfg.B, C=cfg.C
+                )
+            )
+            yield images, targets

@@ -1,0 +1,152 @@
+"""VOC mAP evaluation: batched on-device decode+NMS, host-side AP.
+
+Rebuilds the reference mAP driver (`/root/reference/utils/utils.py:389-418`
++ run_voc_mAP.py) the TPU way: the reference runs ONE image at a time
+through the net, then a Python triple-loop decode and list-based NMS per
+image (utils/utils.py:402-405).  Here a whole batch goes through
+forward -> vmapped decode -> vmapped NMS inside a single jit; only the
+final (tiny) detection lists cross to the host, where AP runs in numpy.
+
+Reference eval constants preserved: score threshold 0.005, NMS 0.45
+(utils/utils.py:405), boxes clamped to [0,1] then scaled to 448 with
+truncation (:406-407, :347-354), match IoU 0.5, continuous AP (:418).
+The little-val(750)/full-test gating lives in train/loop.fit
+(train.py:127-201).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_v1_tpu.core.ap import voc_eval
+from yolo_v1_tpu.core.grid import decode_grid
+from yolo_v1_tpu.core.nms import nms_keep_mask
+from yolo_v1_tpu.data.voc import VOC_CLASSES, image_id_of
+from yolo_v1_tpu.train.state import TrainState
+
+
+def make_detector(
+    S: int,
+    B: int = 2,
+    C: int = 20,
+    score_threshold: float = 0.005,
+    nms_threshold: float = 0.45,
+) -> Callable:
+    """Jitted (state, images) -> (boxes, scores, classes, keep), all [N,K,...].
+
+    Boxes come out clamped to [0,1] (utils/utils.py:406); scaling to pixels
+    happens host-side.
+    """
+
+    @jax.jit
+    def detect(state: TrainState, images: jax.Array):
+        pred = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            train=False,
+        )
+        boxes, scores, classes, valid = jax.vmap(
+            partial(decode_grid, S=S, B=B, C=C, score_threshold=score_threshold)
+        )(pred)
+        keep = jax.vmap(partial(nms_keep_mask, iou_threshold=nms_threshold))(
+            boxes, scores, valid
+        )
+        return jnp.clip(boxes, 0.0, 1.0), scores, classes, keep
+
+    return detect
+
+
+def detections_to_preds(
+    boxes: np.ndarray,
+    scores: np.ndarray,
+    classes: np.ndarray,
+    keep: np.ndarray,
+    image_ids: Sequence[str],
+    preds: dict | None = None,
+    class_names: Sequence[str] = VOC_CLASSES,
+    image_size: int = 448,
+) -> dict:
+    """Accumulate device detections into the {class: [[id, conf, x1..y2]]}
+    structure voc_eval consumes (utils/utils.py:410-411)."""
+    if preds is None:
+        preds = defaultdict(list)
+    for i, img_id in enumerate(image_ids):
+        for k in np.flatnonzero(keep[i]):
+            b = (boxes[i, k] * image_size).astype(np.int64)  # trunc like int()
+            preds[class_names[int(classes[i, k])]].append(
+                [img_id, float(scores[i, k]), int(b[0]), int(b[1]), int(b[2]), int(b[3])]
+            )
+    return preds
+
+
+class VocEvaluator:
+    """little/full mAP evaluation over a test dataset (train.py:127-201)."""
+
+    def __init__(
+        self,
+        dataset,  # data.pipeline.YoloDataset with train=False
+        gt_full: dict,
+        gt_little: dict | None = None,
+        little_n: int = 750,  # train.py:127
+        batch_size: int = 32,
+        class_names: Sequence[str] = VOC_CLASSES,
+        score_threshold: float = 0.005,
+        nms_threshold: float = 0.45,
+        match_iou: float = 0.5,
+        eval_image_size: int = 448,
+        logger=None,
+    ):
+        self.dataset = dataset
+        self.gt_full = gt_full
+        self.gt_little = gt_little if gt_little is not None else gt_full
+        self.little_n = little_n
+        self.batch_size = batch_size
+        self.class_names = class_names
+        self.match_iou = match_iou
+        self.logger = logger
+        cfg = dataset.config
+        self.detector = make_detector(
+            S=cfg.S, B=cfg.B, C=cfg.C,
+            score_threshold=score_threshold, nms_threshold=nms_threshold,
+        )
+        # Predictions are scaled into the GT's pixel frame — always 448 in
+        # the reference regardless of network input (utils/utils.py:356-387
+        # builds GT at 448; bbox_un_norm :347 scales dets the same way).
+        self.image_size = eval_image_size
+
+    def _run(self, state: TrainState, limit: int | None, gt: dict) -> float:
+        n = len(self.dataset) if limit is None else min(limit, len(self.dataset))
+        preds: dict = defaultdict(list)
+        bs = self.batch_size
+        for start in range(0, n, bs):
+            idxs = range(start, min(start + bs, n))
+            samples = [self.dataset.load_sample(i) for i in idxs]
+            images = np.stack([s[0] for s in samples])
+            ids = [image_id_of(self.dataset.image_path(i)) for i in idxs]
+            if images.shape[0] < bs:  # pad for a single compiled shape
+                pad = bs - images.shape[0]
+                images = np.concatenate([images, np.zeros_like(images[:1]).repeat(pad, 0)])
+            boxes, scores, classes, keep = jax.tree.map(
+                np.asarray, self.detector(state, jnp.asarray(images))
+            )
+            detections_to_preds(
+                boxes[: len(ids)], scores[: len(ids)], classes[: len(ids)],
+                keep[: len(ids)], ids, preds, self.class_names, self.image_size,
+            )
+        mAP, _ = voc_eval(
+            preds, gt, self.class_names,
+            iou_threshold=self.match_iou, logger=self.logger,
+        )
+        return mAP
+
+    def little_map(self, state: TrainState) -> float:
+        return self._run(state, self.little_n, self.gt_little)
+
+    def full_map(self, state: TrainState) -> float:
+        return self._run(state, None, self.gt_full)

@@ -74,8 +74,8 @@ class DetectionHead(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         out_ch = self.B * 5 + self.num_classes
-        x = conv(out_ch, 1, dtype=self.dtype, name="head_conv")(x)
-        x = batch_norm(train, name="head_bn")(x)
+        x = conv(out_ch, 1, dtype=self.dtype, name="conv")(x)
+        x = batch_norm(train, name="bn")(x)
         return nn.sigmoid(x.astype(jnp.float32))
 
 

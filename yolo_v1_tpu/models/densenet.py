@@ -97,7 +97,9 @@ class DenseNet(nn.Module):
                 )(x, train)
         x = batch_norm(train, name="norm5")(x)
         x = nn.relu(x).astype(self.dtype)
-        return DetectionHead(self.B, self.num_classes, dtype=self.dtype)(x, train)
+        return DetectionHead(
+            self.B, self.num_classes, dtype=self.dtype, name="head"
+        )(x, train)
 
 
 def _ctor(block_config_s14, growth_rate=32, num_init_features=64):

@@ -8,9 +8,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from yolo_v1_tpu.models import densenet, resnet
+from yolo_v1_tpu.models import densenet, resnet, tiny
 
 _REGISTRY = {
+    # Test/CI-scale model (not in the reference) — input 16*S pixels.
+    "tiny": tiny.tiny,
     "resnet18": resnet.resnet18,
     "resnet34": resnet.resnet34,
     "resnet50": resnet.resnet50,

@@ -135,7 +135,9 @@ class ResNet(nn.Module):
                     kwargs["groups"] = self.groups
                 x = block_cls(**kwargs)(x, train)
         x = x.astype(self.dtype)
-        return DetectionHead(self.B, self.num_classes, dtype=self.dtype)(x, train)
+        return DetectionHead(
+            self.B, self.num_classes, dtype=self.dtype, name="head"
+        )(x, train)
 
 
 def _ctor(stage_sizes, bottleneck, groups=1, width_per_group=64):

@@ -1,0 +1,74 @@
+"""Device mesh + sharding helpers — the framework's scaling layer.
+
+The reference scales with single-process ``nn.DataParallel``
+(`/root/reference/train.py:80`): scatter the batch, replicate weights,
+gather outputs.  The TPU-native equivalent is a ``jax.sharding.Mesh`` with
+named axes and sharding annotations on jit inputs/outputs; XLA inserts the
+gradient all-reduce (over ICI) automatically.  Everything here works
+identically on one chip, a v5e pod slice, or N virtual CPU devices
+(``--xla_force_host_platform_device_count``), which is how multi-chip
+behavior is tested without hardware (SURVEY.md §4).
+
+Axes:
+  * ``data``  — batch dimension (DP).  Always present.
+  * ``model`` — optional second axis reserved for spatial/model sharding of
+    the conv activations (SURVEY.md §5 notes this is optional for parity;
+    the 448px activations fit one chip comfortably).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: int | None = None,
+    axis_names: tuple[str, ...] = ("data",),
+    devices=None,
+) -> Mesh:
+    """Create a mesh over the first ``n_devices`` devices.
+
+    With the default single axis, all devices go to data parallelism.  With
+    two axes ``('data', 'model')``, pass ``n_devices`` as a tuple via
+    ``devices`` reshaping instead.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devs = np.asarray(devices[:n_devices])
+    if len(axis_names) == 1:
+        return Mesh(devs, axis_names)
+    # Put everything on the leading axis; trailing axes get size 1 unless the
+    # caller reshapes explicitly.
+    shape = (n_devices,) + (1,) * (len(axis_names) - 1)
+    return Mesh(devs.reshape(shape), axis_names)
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dimension over the 'data' axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Device-put arrays with the batch dimension sharded over 'data'."""
+    sh = data_sharding(mesh)
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def pad_to_multiple(batch: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
+    """Pad the batch dim up to a multiple (uneven final batches must still
+    shard evenly over the mesh). Returns (padded, n_real)."""
+    n = batch.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return batch, n
+    pad = np.repeat(batch[-1:], rem, axis=0)
+    return np.concatenate([batch, pad], axis=0), n

@@ -1,0 +1,212 @@
+"""Checkpointing: Orbax save/restore + PyTorch weight import.
+
+Reference behavior being reproduced (`/root/reference/train.py:204-209`):
+save the latest state every epoch and a best-mAP-gated copy; eval tools load
+a checkpoint file (eval.py:68, run_voc_mAP.py:68).  Upgrades over the
+reference: resume is real (the reference's resume is a commented-out line,
+train.py:100) and the optimizer/momentum state and step counter are part of
+the checkpoint, not just module weights.
+
+``import_torch_state_dict`` is the analog of the reference's ImageNet
+weight surgery (train.py:62-78): copy every key whose name and shape match
+our tree, leave the rest (e.g. the S=7 ``layer5``/``block5`` stages and the
+detection head, which have no ImageNet weights) at their random init.
+Handles both torchvision ImageNet state dicts and the reference's own
+DataParallel checkpoints (``module.``-prefixed keys — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Mapping
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from yolo_v1_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    """Minimal latest/best checkpoint manager over Orbax."""
+
+    def __init__(self, base_path: str):
+        self.base_path = os.path.abspath(base_path)
+        os.makedirs(self.base_path, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _payload(self, state: TrainState) -> dict:
+        return {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        }
+
+    def path(self, best: bool) -> str:
+        return os.path.join(self.base_path, "best" if best else "latest")
+
+    def save(self, state: TrainState, epoch: int, best: bool = False) -> None:
+        payload = self._payload(state)
+        payload["epoch"] = epoch
+        self._ckptr.save(self.path(best), payload, force=True)
+        self._ckptr.wait_until_finished()
+
+    def restore(self, state: TrainState, best: bool = False) -> tuple[TrainState, int]:
+        """Restore into the structure of ``state``; returns (state, epoch)."""
+        template = self._payload(state)
+        template["epoch"] = 0
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+        restored = self._ckptr.restore(self.path(best), abstract)
+        new_state = state.replace(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+        )
+        return new_state, int(restored["epoch"])
+
+    def exists(self, best: bool = False) -> bool:
+        return os.path.isdir(self.path(best))
+
+
+# ---------------------------------------------------------------------------
+# PyTorch weight import
+# ---------------------------------------------------------------------------
+
+_BN_LEAF = {
+    "weight": ("params", "scale"),
+    "bias": ("params", "bias"),
+    "running_mean": ("batch_stats", "mean"),
+    "running_var": ("batch_stats", "var"),
+}
+
+
+def _torch_key_to_path(key: str, arch: str) -> tuple[str, ...] | None:
+    """Map a torch state-dict key to (collection, module..., leaf) or None."""
+    key = re.sub(r"^module\.", "", key)  # DataParallel prefix (SURVEY.md §5)
+    parts = key.split(".")
+    if parts[-1] == "num_batches_tracked":
+        return None
+
+    if arch == "resnet":
+        # conv1.weight / bn1.* / layerL.B.(convN|bnN|downsample.{0,1}).*
+        if parts[0] == "conv1" and parts[-1] == "weight":
+            return ("params", "conv1", "kernel")
+        if parts[0] == "bn1":
+            coll, leaf = _BN_LEAF[parts[-1]]
+            return (coll, "bn1", leaf)
+        if parts[0] == "layer6" and parts[-1] == "weight":
+            return ("params", "head", "conv", "kernel")
+        if parts[0] == "bn_end":
+            coll, leaf = _BN_LEAF[parts[-1]]
+            return (coll, "head", "bn", leaf)
+        m = re.match(r"^layer(\d+)$", parts[0])
+        if m and len(parts) >= 3:
+            block = f"layer{m.group(1)}_{parts[1]}"
+            if parts[2] == "downsample":
+                if parts[3] == "0":
+                    return ("params", block, "downsample_conv", "kernel")
+                coll, leaf = _BN_LEAF[parts[-1]]
+                return (coll, block, "downsample_bn", leaf)
+            if parts[2].startswith("conv"):
+                return ("params", block, parts[2], "kernel")
+            if parts[2].startswith("bn"):
+                coll, leaf = _BN_LEAF[parts[-1]]
+                return (coll, block, parts[2], leaf)
+        return None
+
+    if arch == "densenet":
+        if parts[0] == "features":
+            parts = parts[1:]
+        if parts[0] == "conv0":
+            return ("params", "conv0", "kernel")
+        if parts[0] in ("norm0", "norm5"):
+            coll, leaf = _BN_LEAF[parts[-1]]
+            return (coll, parts[0], leaf)
+        if parts[0] == "layer6" and parts[-1] == "weight":
+            return ("params", "head", "conv", "kernel")
+        if parts[0] == "bn_end":
+            coll, leaf = _BN_LEAF[parts[-1]]
+            return (coll, "head", "bn", leaf)
+        m = re.match(r"^denseblock(\d+)$", parts[0])
+        if m:
+            lm = re.match(r"^denselayer(\d+)$", parts[1])
+            block = f"block{m.group(1)}_layer{lm.group(1)}"
+            if parts[2].startswith("conv"):
+                return ("params", block, parts[2], "kernel")
+            coll, leaf = _BN_LEAF[parts[-1]]
+            return (coll, block, parts[2], leaf)
+        m = re.match(r"^transition(\d+)$", parts[0])
+        if m:
+            mod = f"transition{m.group(1)}"
+            if parts[1] == "conv":
+                return ("params", mod, "conv", "kernel")
+            coll, leaf = _BN_LEAF[parts[-1]]
+            return (coll, mod, "norm", leaf)
+        return None
+
+    raise ValueError(f"unknown arch {arch!r}")
+
+
+def import_torch_state_dict(
+    state_dict: Mapping[str, Any],
+    params: Any,
+    batch_stats: Any,
+    arch: str,
+) -> tuple[Any, Any, dict]:
+    """Copy matching torch weights into flax trees (filtered-copy semantics
+    of train.py:62-67: only keys that exist AND shape-match are taken).
+
+    Conv kernels transpose from torch [out, in, kh, kw] to flax
+    [kh, kw, in, out].
+
+    Returns (params, batch_stats, report) where report lists 'copied',
+    'skipped_missing', 'skipped_shape'.
+    """
+    params = jax.tree.map(np.asarray, params)
+    batch_stats = jax.tree.map(np.asarray, batch_stats)
+    trees = {"params": params, "batch_stats": batch_stats}
+    report = {"copied": [], "skipped_missing": [], "skipped_shape": []}
+
+    for key, value in state_dict.items():
+        path = _torch_key_to_path(key, arch)
+        if path is None:
+            if not key.endswith("num_batches_tracked"):
+                report["skipped_missing"].append(key)
+            continue
+        coll, *mods, leaf = path
+        node = trees[coll]
+        ok = True
+        for mod in mods:
+            if mod not in node:
+                ok = False
+                break
+            node = node[mod]
+        if not ok or leaf not in node:
+            report["skipped_missing"].append(key)
+            continue
+        arr = np.asarray(
+            value.detach().cpu().numpy() if hasattr(value, "detach") else value
+        )
+        if leaf == "kernel":
+            arr = arr.transpose(2, 3, 1, 0)
+        if arr.shape != node[leaf].shape:
+            report["skipped_shape"].append(key)
+            continue
+        node[leaf] = arr.astype(node[leaf].dtype)
+        report["copied"].append(key)
+
+    return trees["params"], trees["batch_stats"], report
+
+
+def load_torch_file(path: str) -> dict:
+    """Read a .pth state dict with CPU torch (lazy import — torch is only
+    needed for weight conversion, never in the training path)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return dict(obj)

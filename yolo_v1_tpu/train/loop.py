@@ -1,0 +1,200 @@
+"""Training loop: jitted, mesh-sharded train step + epoch orchestration.
+
+TPU-native rebuild of the reference trainer (`/root/reference/train.py`):
+
+* the whole optimization step (forward, loss, backward, SGD update, BN stat
+  update) is ONE jitted function — the reference crosses the host/device
+  boundary several times per iteration (H2D copies train.py:163-164,
+  the loss's CPU mask building v1Loss.py:57-60, per-iteration logging);
+* data parallelism comes from sharding annotations over a
+  ``jax.sharding.Mesh`` — the pjit equivalent of ``nn.DataParallel``
+  (train.py:80); XLA inserts the gradient all-reduce over ICI.  BatchNorm
+  statistics are computed over the *global* batch under pjit (sync-BN); the
+  reference computes per-replica stats — documented divergence, SURVEY.md §7;
+* LR warmup + epoch steps are a closed-form optax schedule
+  (train/schedule.py) instead of per-iteration Python mutation
+  (train.py:22-32, 158-160);
+* per-epoch validation with little-mAP gating of the full-test mAP mirrors
+  train.py:186-202; checkpoint save (latest + best-mAP-gated) mirrors
+  train.py:204-209 via Orbax, and resume is real (the reference's is a
+  commented-out line, train.py:100).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from yolo_v1_tpu.losses.yolov1 import YoloV1LossConfig, yolo_v1_loss
+from yolo_v1_tpu.parallel.mesh import data_sharding, replicated
+from yolo_v1_tpu.train.state import TrainState
+
+
+def make_train_step(
+    loss_config: YoloV1LossConfig,
+) -> Callable[[TrainState, jax.Array, jax.Array], tuple[TrainState, dict]]:
+    """Build the pure train-step function (un-jitted)."""
+
+    def train_step(state: TrainState, images: jax.Array, targets: jax.Array):
+        def loss_fn(params):
+            pred, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            total, parts = yolo_v1_loss(pred, targets, loss_config)
+            return total, (parts, mutated["batch_stats"])
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (parts, new_stats)), grads = grad_fn(state.params)
+        new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        return new_state, parts
+
+    return train_step
+
+
+def jit_train_step(
+    loss_config: YoloV1LossConfig, mesh: Mesh | None = None
+) -> Callable:
+    """Jit the train step; with a mesh, shard the batch over the 'data' axis
+    and replicate the state (XLA then emits the DP gradient psum)."""
+    step = make_train_step(loss_config)
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    repl, data = replicated(mesh), data_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_forward(mesh: Mesh | None = None) -> Callable:
+    """Jitted inference forward: images -> prediction grids (eval mode)."""
+
+    def forward(state: TrainState, images: jax.Array) -> jax.Array:
+        return state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            train=False,
+        )
+
+    if mesh is None:
+        return jax.jit(forward)
+    return jax.jit(
+        forward,
+        in_shardings=(replicated(mesh), data_sharding(mesh)),
+        out_shardings=data_sharding(mesh),
+    )
+
+
+@dataclass
+class FitConfig:
+    num_epochs: int = 200  # train.py:38
+    log_every: int = 5  # train.py:175
+    run_full_map_threshold: float = 0.585  # train.py:137 (HEAD side)
+    save_every_epoch: bool = True
+
+
+@dataclass
+class FitResult:
+    best_map: float = 0.0
+    last_little_map: float = 0.0
+    epoch_losses: list = field(default_factory=list)
+
+
+def fit(
+    state: TrainState,
+    train_loader_fn: Callable[[int], Iterable],
+    loss_config: YoloV1LossConfig,
+    mesh: Mesh | None = None,
+    config: FitConfig | None = None,
+    evaluator: Any = None,
+    checkpointer: Any = None,
+    metric_writer: Any = None,
+    logger: Any = None,
+    start_epoch: int = 0,
+) -> tuple[TrainState, FitResult]:
+    """Epoch loop with validation gating and checkpointing (train.py:144-209).
+
+    Args:
+      state: initial (or resumed) train state.
+      train_loader_fn: epoch index -> iterable of (images, targets) numpy
+        batches (NHWC float32 / encoded grids).
+      mesh: optional device mesh for data parallelism.
+      evaluator: optional object with ``little_map(state) -> float`` and
+        ``full_map(state) -> float`` (eval/voc_map.VocEvaluator).
+      checkpointer: optional train/checkpoint.CheckpointManager.
+      metric_writer: optional train/metrics.MetricWriter.
+    """
+    config = config or FitConfig()
+    step_fn = jit_train_step(loss_config, mesh)
+    put = (lambda a: jax.device_put(a, data_sharding(mesh))) if mesh else jnp.asarray
+    result = FitResult()
+    info = logger.info if logger else (lambda *a: None)
+
+    for epoch in range(start_epoch, config.num_epochs):
+        info("Starting epoch %d / %d", epoch + 1, config.num_epochs)
+        epoch_start = time.perf_counter()
+        total_loss, n_batches = 0.0, 0
+        for i, (images, targets) in enumerate(train_loader_fn(epoch)):
+            state, parts = step_fn(state, put(images), put(targets))
+            loss = float(parts["total"])
+            total_loss += loss
+            n_batches += 1
+            if (i + 1) % config.log_every == 0:
+                info(
+                    "Epoch [%d/%d], Iter [%d] loss: %.4f avg: %.4f",
+                    epoch + 1, config.num_epochs, i + 1, loss,
+                    total_loss / n_batches,
+                )
+                if metric_writer:
+                    metric_writer.plot_many(
+                        {
+                            "location loss": float(parts["location"]),
+                            "confidence loss": float(parts["confidence"]),
+                            "no object loss": float(parts["no_object"]),
+                            "classify loss": float(parts["classify"]),
+                        }
+                    )
+        epoch_loss = total_loss / max(n_batches, 1)
+        result.epoch_losses.append(epoch_loss)
+        if metric_writer:
+            metric_writer.plot("train loss", epoch_loss)
+        info(
+            "Epoch %d finished, avg loss %.4f, %.1fs",
+            epoch + 1, epoch_loss, time.perf_counter() - epoch_start,
+        )
+
+        # --- validation + gated full mAP (train.py:186-202) ---
+        test_map = 0.0
+        if evaluator is not None:
+            little = evaluator.little_map(state)
+            if (
+                little > result.last_little_map
+                and little > config.run_full_map_threshold
+            ):
+                test_map = evaluator.full_map(state)
+            result.last_little_map = little
+            if metric_writer:
+                metric_writer.plot("little mAP", little)
+                metric_writer.plot("mAP", test_map)
+            info("little mAP %.5f, full mAP %.5f", little, test_map)
+
+        # --- checkpointing (train.py:204-209) ---
+        if checkpointer is not None:
+            if test_map > result.best_map:
+                result.best_map = test_map
+                info("new best test mAP %.5f", test_map)
+                checkpointer.save(state, epoch=epoch, best=True)
+            if config.save_every_epoch:
+                checkpointer.save(state, epoch=epoch, best=False)
+    return state, result
