@@ -37,11 +37,14 @@ def make_detector(
     C: int = 20,
     score_threshold: float = 0.005,
     nms_threshold: float = 0.45,
+    nms_impl: str = "xla",
 ) -> Callable:
     """Jitted (state, images) -> (boxes, scores, classes, keep), all [N,K,...].
 
     Boxes come out clamped to [0,1] (utils/utils.py:406); scaling to pixels
-    happens host-side.
+    happens host-side.  ``nms_impl``: 'xla' (vectorized lax loop) or
+    'pallas' (VMEM-resident TPU kernel, ops/pallas/nms_kernel.py) — both
+    produce the identical greedy keep set.
     """
 
     @jax.jit
@@ -54,9 +57,16 @@ def make_detector(
         boxes, scores, classes, valid = jax.vmap(
             partial(decode_grid, S=S, B=B, C=C, score_threshold=score_threshold)
         )(pred)
-        keep = jax.vmap(partial(nms_keep_mask, iou_threshold=nms_threshold))(
-            boxes, scores, valid
-        )
+        if nms_impl == "pallas":
+            from yolo_v1_tpu.ops.pallas.nms_kernel import pallas_nms_keep_mask
+
+            keep = pallas_nms_keep_mask(
+                boxes, scores, valid, iou_threshold=nms_threshold
+            )
+        else:
+            keep = jax.vmap(partial(nms_keep_mask, iou_threshold=nms_threshold))(
+                boxes, scores, valid
+            )
         return jnp.clip(boxes, 0.0, 1.0), scores, classes, keep
 
     return detect
