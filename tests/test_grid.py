@@ -179,3 +179,33 @@ def test_decoder_batched_vmap(rng):
     boxes, scores, classes, valid = fn(jnp.asarray(preds))
     assert boxes.shape == (3, S * S * 2, 4)
     assert valid.dtype == jnp.bool_
+
+
+def test_layout_shuffles_are_inverses(rng):
+    from yolo_v1_tpu.core.grid import from_interleaved_layout, to_interleaved_layout
+
+    g = jnp.asarray(rng.uniform(0, 1, (2, 7, 7, 30)).astype(np.float32))
+    inter = to_interleaved_layout(g)
+    back = from_interleaved_layout(inter)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(g))
+    # Reference index mapping (eval.py:24-29): conf0 <- ch4, conf1 <- ch9,
+    # xywh0 <- 0:4, xywh1 <- 5:9 of the interleaved tensor.
+    np.testing.assert_array_equal(np.asarray(inter[..., 4]), np.asarray(g[..., 0]))
+    np.testing.assert_array_equal(np.asarray(inter[..., 9]), np.asarray(g[..., 1]))
+    np.testing.assert_array_equal(np.asarray(inter[..., 0:4]), np.asarray(g[..., 2:6]))
+    np.testing.assert_array_equal(np.asarray(inter[..., 5:9]), np.asarray(g[..., 6:10]))
+    np.testing.assert_array_equal(np.asarray(inter[..., 10:]), np.asarray(g[..., 10:]))
+
+
+def test_make_eval_tensor_fixture():
+    from yolo_v1_tpu.core.testing import make_eval_tensor
+
+    pred, target = make_eval_tensor(jax.random.PRNGKey(0), 2, 7)
+    assert pred.shape == target.shape == (2, 7, 7, 30)
+    t = np.asarray(target)
+    assert set(np.unique(t[..., :2])) <= {0.0, 1.0}
+    # The loss consumes it without issue.
+    from yolo_v1_tpu.losses.yolov1 import yolo_v1_loss
+
+    total, parts = yolo_v1_loss(pred, target)
+    assert np.isfinite(float(total))

@@ -37,6 +37,33 @@ def layout_sizes(B: int, C: int) -> int:
     return B * 5 + C
 
 
+def to_interleaved_layout(grid: Array, B: int = 2) -> Array:
+    """Conf-first [conf x B | xywh x B | C] -> interleaved
+    [(xywh_b, conf_b) x B | C].
+
+    The reference's third-party-loss convention shuffle
+    (`/root/reference/testCodes/tensor_test.py:99-107`); inverse of
+    ``from_interleaved_layout`` (eval.py:22-30).  Works on [..., B*5+C].
+    """
+    parts = []
+    for b in range(B):
+        parts.append(grid[..., B + 4 * b : B + 4 * b + 4])  # xywh_b
+        parts.append(grid[..., b : b + 1])  # conf_b
+    parts.append(grid[..., 5 * B :])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def from_interleaved_layout(grid: Array, B: int = 2) -> Array:
+    """Interleaved [(xywh_b, conf_b) x B | C] -> conf-first layout.
+
+    Mirrors the reference's ``convert_input_tensor_dim``
+    (`/root/reference/eval.py:22-30`), generalized over B.
+    """
+    confs = [grid[..., 5 * b + 4 : 5 * b + 5] for b in range(B)]
+    boxes = [grid[..., 5 * b : 5 * b + 4] for b in range(B)]
+    return jnp.concatenate(confs + boxes + [grid[..., 5 * B :]], axis=-1)
+
+
 def encode_targets(
     boxes: Array,
     labels: Array,
