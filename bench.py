@@ -38,7 +38,7 @@ def main() -> None:
     from yolo_v1_tpu.models.registry import build_model
     from yolo_v1_tpu.train.state import TrainState
 
-    batch = 64
+    batch = 128  # throughput knee: 64 -> 2.5k, 128 -> 2.9k, 256 -> flat
     iters = 30
     dev = jax.devices()[0]
     log(f"device: {dev}, batch {batch}")

@@ -1,0 +1,102 @@
+"""Batched serving path: uint8 images in, detections out, one jit.
+
+The reference's inference unit is: cv2 resize -> ToTensor -> Normalize on
+host, forward, then Python decode+NMS per image (SURVEY.md §3.5).  The
+TPU-native serving path moves everything after JPEG decode onto the chip:
+
+  uint8 RGB [N, H, W, 3]  --H2D (4x fewer bytes than f32)-->
+  normalize (ImageNet stats) -> backbone -> decode -> NMS   [single jit]
+
+Host work is only the final ragged extraction of kept boxes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_v1_tpu.core.grid import decode_grid
+from yolo_v1_tpu.core.nms import nms_keep_mask
+from yolo_v1_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+from yolo_v1_tpu.data.voc import VOC_CLASSES
+
+
+class Predictor:
+    """Fused normalize+forward+decode+NMS serving wrapper.
+
+    Args:
+      model: a flax detector module (models.registry.build_model).
+      variables: {'params': ..., 'batch_stats': ...}.
+      S, B, C: grid geometry (must match the model).
+      score_threshold / nms_threshold: decode constants (reference
+        visualization uses 0.1 / mAP eval uses 0.005 — utils/utils.py:405,
+        eval.py:94).
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        S: int,
+        B: int = 2,
+        C: int = 20,
+        score_threshold: float = 0.1,
+        nms_threshold: float = 0.45,
+        nms_impl: str = "xla",
+    ):
+        self.class_names: Sequence[str] = VOC_CLASSES
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+
+        @jax.jit
+        def _predict(variables, images_u8):
+            x = images_u8.astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            pred = model.apply(variables, x, train=False)
+            boxes, scores, classes, valid = jax.vmap(
+                partial(decode_grid, S=S, B=B, C=C, score_threshold=score_threshold)
+            )(pred)
+            if nms_impl == "pallas":
+                from yolo_v1_tpu.ops.pallas.nms_kernel import pallas_nms_keep_mask
+
+                keep = pallas_nms_keep_mask(
+                    boxes, scores, valid, iou_threshold=nms_threshold
+                )
+            else:
+                keep = jax.vmap(
+                    partial(nms_keep_mask, iou_threshold=nms_threshold)
+                )(boxes, scores, valid)
+            return jnp.clip(boxes, 0.0, 1.0), scores, classes, keep
+
+        self._predict = _predict
+        self._variables = variables
+
+    def __call__(self, images_u8: np.ndarray) -> list[list[dict]]:
+        """images_u8: [N, H, W, 3] uint8 RGB, square, already resized.
+
+        Returns per-image lists of {'box': [x1,y1,x2,y2] normalized,
+        'score': float, 'class_id': int, 'class_name': str}.
+        """
+        boxes, scores, classes, keep = jax.tree.map(
+            np.asarray, self._predict(self._variables, jnp.asarray(images_u8))
+        )
+        out = []
+        for i in range(images_u8.shape[0]):
+            dets = []
+            for k in np.flatnonzero(keep[i]):
+                cid = int(classes[i, k])
+                dets.append(
+                    {
+                        "box": boxes[i, k].tolist(),
+                        "score": float(scores[i, k]),
+                        "class_id": cid,
+                        "class_name": self.class_names[cid],
+                    }
+                )
+            dets.sort(key=lambda d: -d["score"])
+            out.append(dets)
+        return out

@@ -38,10 +38,10 @@ class DenseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        out = batch_norm(train, name="norm1")(x)
+        out = batch_norm(train, name="norm1", dtype=self.dtype)(x)
         out = nn.relu(out).astype(self.dtype)
         out = conv(self.bn_size * self.growth_rate, 1, dtype=self.dtype, name="conv1")(out)
-        out = batch_norm(train, name="norm2")(out)
+        out = batch_norm(train, name="norm2", dtype=self.dtype)(out)
         out = nn.relu(out).astype(self.dtype)
         out = conv(self.growth_rate, 3, dtype=self.dtype, name="conv2")(out)
         return jnp.concatenate([x, out.astype(x.dtype)], axis=-1)
@@ -55,7 +55,7 @@ class Transition(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = batch_norm(train, name="norm")(x)
+        x = batch_norm(train, name="norm", dtype=self.dtype)(x)
         x = nn.relu(x).astype(self.dtype)
         x = conv(self.features, 1, dtype=self.dtype, name="conv")(x)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
@@ -76,7 +76,7 @@ class DenseNet(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = x.astype(self.dtype)
         x = conv(self.num_init_features, 7, 2, dtype=self.dtype, name="conv0")(x)
-        x = batch_norm(train, name="norm0")(x)
+        x = batch_norm(train, name="norm0", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)
 
@@ -95,7 +95,7 @@ class DenseNet(nn.Module):
                 x = Transition(
                     num_features, dtype=self.dtype, name=f"transition{i + 1}"
                 )(x, train)
-        x = batch_norm(train, name="norm5")(x)
+        x = batch_norm(train, name="norm5", dtype=self.dtype)(x)
         x = nn.relu(x).astype(self.dtype)
         return DetectionHead(
             self.B, self.num_classes, dtype=self.dtype, name="head"

@@ -41,10 +41,10 @@ class BasicBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         identity = x
         out = conv(self.planes, 3, self.stride, dtype=self.dtype, name="conv1")(x)
-        out = batch_norm(train, name="bn1")(out)
+        out = batch_norm(train, name="bn1", dtype=self.dtype)(out)
         out = nn.relu(out)
         out = conv(self.planes, 3, dtype=self.dtype, name="conv2")(out)
-        out = batch_norm(train, name="bn2")(out)
+        out = batch_norm(train, name="bn2", dtype=self.dtype)(out)
         if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
             identity = conv(
                 self.planes * self.expansion,
@@ -53,7 +53,7 @@ class BasicBlock(nn.Module):
                 dtype=self.dtype,
                 name="downsample_conv",
             )(x)
-            identity = batch_norm(train, name="downsample_bn")(identity)
+            identity = batch_norm(train, name="downsample_bn", dtype=self.dtype)(identity)
         return nn.relu(out + identity)
 
 
@@ -70,16 +70,16 @@ class Bottleneck(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         identity = x
         out = conv(self.planes, 1, dtype=self.dtype, name="conv1")(x)
-        out = batch_norm(train, name="bn1")(out)
+        out = batch_norm(train, name="bn1", dtype=self.dtype)(out)
         out = nn.relu(out)
         out = conv(
             self.planes, 3, self.stride, groups=self.groups, dtype=self.dtype,
             name="conv2",
         )(out)
-        out = batch_norm(train, name="bn2")(out)
+        out = batch_norm(train, name="bn2", dtype=self.dtype)(out)
         out = nn.relu(out)
         out = conv(self.planes * self.expansion, 1, dtype=self.dtype, name="conv3")(out)
-        out = batch_norm(train, name="bn3")(out)
+        out = batch_norm(train, name="bn3", dtype=self.dtype)(out)
         if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
             identity = conv(
                 self.planes * self.expansion,
@@ -88,7 +88,7 @@ class Bottleneck(nn.Module):
                 dtype=self.dtype,
                 name="downsample_conv",
             )(x)
-            identity = batch_norm(train, name="downsample_bn")(identity)
+            identity = batch_norm(train, name="downsample_bn", dtype=self.dtype)(identity)
         return nn.relu(out + identity)
 
 
@@ -111,7 +111,7 @@ class ResNet(nn.Module):
         block_cls = Bottleneck if self.bottleneck else BasicBlock
         x = x.astype(self.dtype)
         x = conv(planes[0], 7, 2, dtype=self.dtype, name="conv1")(x)
-        x = batch_norm(train, name="bn1")(x)
+        x = batch_norm(train, name="bn1", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)
 

@@ -28,7 +28,7 @@ class TinyNet(nn.Module):
         x = x.astype(self.dtype)
         for i in range(4):
             x = conv(self.width * (2**i), 3, 2, dtype=self.dtype, name=f"conv{i}")(x)
-            x = batch_norm(train, name=f"bn{i}")(x)
+            x = batch_norm(train, name=f"bn{i}", dtype=self.dtype)(x)
             x = nn.relu(x)
         assert x.shape[1] == self.S and x.shape[2] == self.S, (
             f"TinyNet expects input of size 16*S; got spatial {x.shape[1:3]} "
