@@ -142,3 +142,29 @@ def test_adam_optimizer_variant():
     for _ in range(3):
         state, parts = step(state, jnp.asarray(images), jnp.asarray(targets))
     assert np.isfinite(float(parts["total"]))
+
+
+def test_metric_writer_renders_dashboard(tmp_path):
+    from yolo_v1_tpu.train.metrics import MetricWriter
+
+    w = MetricWriter(str(tmp_path))
+    for i in range(10):
+        w.plot("train loss", 10.0 / (i + 1))
+        w.plot("little mAP", i / 10.0)
+    path = w.render_html()
+    html = open(path).read()
+    assert "train loss" in html and "polyline" in html
+    w.close()
+
+
+def test_model_summary_and_param_count():
+    from yolo_v1_tpu.models.registry import build_model
+    from yolo_v1_tpu.train.state import create_train_state, make_optimizer
+    from yolo_v1_tpu.utils.summary import count_params, model_summary
+
+    model = build_model("tiny", S=7)
+    table = model_summary(model, (1, 112, 112, 3))
+    assert "head" in table
+    tx = make_optimizer(lambda s: 1e-3)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 112, 112, 3), tx)
+    assert count_params(state.params) > 1000

@@ -122,6 +122,7 @@ def fit(
     metric_writer: Any = None,
     logger: Any = None,
     start_epoch: int = 0,
+    profile_dir: str | None = None,
 ) -> tuple[TrainState, FitResult]:
     """Epoch loop with validation gating and checkpointing (train.py:144-209).
 
@@ -134,67 +135,104 @@ def fit(
         ``full_map(state) -> float`` (eval/voc_map.VocEvaluator).
       checkpointer: optional train/checkpoint.CheckpointManager.
       metric_writer: optional train/metrics.MetricWriter.
+      profile_dir: when set, capture a JAX/XProf device trace of a few
+        steps of the first epoch (the upgrade over the reference's
+        time.clock() wall-clock lines, train.py:150-184).
     """
     config = config or FitConfig()
     step_fn = jit_train_step(loss_config, mesh)
     put = (lambda a: jax.device_put(a, data_sharding(mesh))) if mesh else jnp.asarray
     result = FitResult()
     info = logger.info if logger else (lambda *a: None)
+    return _fit_epochs(
+        state, train_loader_fn, config, step_fn, put, result, info,
+        evaluator, checkpointer, metric_writer, start_epoch, profile_dir,
+    )
 
-    for epoch in range(start_epoch, config.num_epochs):
-        info("Starting epoch %d / %d", epoch + 1, config.num_epochs)
-        epoch_start = time.perf_counter()
-        total_loss, n_batches = 0.0, 0
-        for i, (images, targets) in enumerate(train_loader_fn(epoch)):
-            state, parts = step_fn(state, put(images), put(targets))
-            loss = float(parts["total"])
-            total_loss += loss
-            n_batches += 1
-            if (i + 1) % config.log_every == 0:
-                info(
-                    "Epoch [%d/%d], Iter [%d] loss: %.4f avg: %.4f",
-                    epoch + 1, config.num_epochs, i + 1, loss,
-                    total_loss / n_batches,
-                )
-                if metric_writer:
-                    metric_writer.plot_many(
-                        {
-                            "location loss": float(parts["location"]),
-                            "confidence loss": float(parts["confidence"]),
-                            "no object loss": float(parts["no_object"]),
-                            "classify loss": float(parts["classify"]),
-                        }
+
+def _fit_epochs(
+    state, train_loader_fn, config, step_fn, put, result, info,
+    evaluator, checkpointer, metric_writer, start_epoch, profile_dir,
+):
+    profiling = False
+    epoch = start_epoch
+    try:
+        for epoch in range(start_epoch, config.num_epochs):
+            info("Starting epoch %d / %d", epoch + 1, config.num_epochs)
+            epoch_start = time.perf_counter()
+            total_loss, n_batches = 0.0, 0
+            for i, (images, targets) in enumerate(train_loader_fn(epoch)):
+                if profile_dir and epoch == start_epoch:
+                    if i == 2 and not profiling:
+                        jax.profiler.start_trace(profile_dir)
+                        profiling = True
+                    elif i == 8 and profiling:
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        info("profiler trace written to %s", profile_dir)
+                state, parts = step_fn(state, put(images), put(targets))
+                loss = float(parts["total"])
+                total_loss += loss
+                n_batches += 1
+                if (i + 1) % config.log_every == 0:
+                    info(
+                        "Epoch [%d/%d], Iter [%d] loss: %.4f avg: %.4f",
+                        epoch + 1, config.num_epochs, i + 1, loss,
+                        total_loss / n_batches,
                     )
-        epoch_loss = total_loss / max(n_batches, 1)
-        result.epoch_losses.append(epoch_loss)
-        if metric_writer:
-            metric_writer.plot("train loss", epoch_loss)
-        info(
-            "Epoch %d finished, avg loss %.4f, %.1fs",
-            epoch + 1, epoch_loss, time.perf_counter() - epoch_start,
-        )
-
-        # --- validation + gated full mAP (train.py:186-202) ---
-        test_map = 0.0
-        if evaluator is not None:
-            little = evaluator.little_map(state)
-            if (
-                little > result.last_little_map
-                and little > config.run_full_map_threshold
-            ):
-                test_map = evaluator.full_map(state)
-            result.last_little_map = little
+                    if metric_writer:
+                        metric_writer.plot_many(
+                            {
+                                "location loss": float(parts["location"]),
+                                "confidence loss": float(parts["confidence"]),
+                                "no object loss": float(parts["no_object"]),
+                                "classify loss": float(parts["classify"]),
+                            }
+                        )
+            if profiling:  # loader shorter than the trace window
+                jax.profiler.stop_trace()
+                profiling = False
+            epoch_loss = total_loss / max(n_batches, 1)
+            result.epoch_losses.append(epoch_loss)
             if metric_writer:
-                metric_writer.plot("little mAP", little)
-                metric_writer.plot("mAP", test_map)
-            info("little mAP %.5f, full mAP %.5f", little, test_map)
+                metric_writer.plot("train loss", epoch_loss)
+            info(
+                "Epoch %d finished, avg loss %.4f, %.1fs",
+                epoch + 1, epoch_loss, time.perf_counter() - epoch_start,
+            )
 
-        # --- checkpointing (train.py:204-209) ---
+            # --- validation + gated full mAP (train.py:186-202) ---
+            test_map = 0.0
+            if evaluator is not None:
+                little = evaluator.little_map(state)
+                if (
+                    little > result.last_little_map
+                    and little > config.run_full_map_threshold
+                ):
+                    test_map = evaluator.full_map(state)
+                result.last_little_map = little
+                if metric_writer:
+                    metric_writer.plot("little mAP", little)
+                    metric_writer.plot("mAP", test_map)
+                info("little mAP %.5f, full mAP %.5f", little, test_map)
+
+            # --- checkpointing (train.py:204-209) ---
+            if checkpointer is not None:
+                if test_map > result.best_map:
+                    result.best_map = test_map
+                    info("new best test mAP %.5f", test_map)
+                    checkpointer.save(state, epoch=epoch, best=True)
+                if config.save_every_epoch:
+                    checkpointer.save(state, epoch=epoch, best=False)
+            if metric_writer and hasattr(metric_writer, "render_html"):
+                metric_writer.render_html()
+    except KeyboardInterrupt:
+        # Graceful interruption: persist the in-flight state so --resume
+        # works (the reference loses the whole epoch).
+        if profiling:
+            jax.profiler.stop_trace()
         if checkpointer is not None:
-            if test_map > result.best_map:
-                result.best_map = test_map
-                info("new best test mAP %.5f", test_map)
-                checkpointer.save(state, epoch=epoch, best=True)
-            if config.save_every_epoch:
-                checkpointer.save(state, epoch=epoch, best=False)
+            info("interrupted; saving latest checkpoint at epoch %d", epoch)
+            checkpointer.save(state, epoch=max(epoch - 1, 0), best=False)
+        raise
     return state, result

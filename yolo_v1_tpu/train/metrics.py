@@ -49,5 +49,43 @@ class MetricWriter:
         if self.logger:
             self.logger.info(text)
 
+    def render_html(self, filename: str = "dashboard.html") -> str:
+        """Write a self-contained SVG dashboard of all series — the offline
+        stand-in for the reference's live visdom panels (visual.py:25-33)."""
+        path = os.path.join(os.path.dirname(self.path), filename)
+        panels = []
+        for name, points in sorted(self.history.items()):
+            if not points:
+                continue
+            xs = [p[0] for p in points]
+            ys = [p[1] for p in points]
+            x0, x1 = min(xs), max(xs) or 1
+            y0, y1 = min(ys), max(ys)
+            if y1 == y0:
+                y1 = y0 + 1.0
+            W, H, pad = 360, 160, 28
+            def sx(x):
+                return pad + (W - 2 * pad) * (x - x0) / max(x1 - x0, 1)
+            def sy(y):
+                return H - pad - (H - 2 * pad) * (y - y0) / (y1 - y0)
+            pts = " ".join(f"{sx(x):.1f},{sy(y):.1f}" for x, y in zip(xs, ys))
+            panels.append(
+                f"<div class='p'><h3>{name}</h3>"
+                f"<svg width='{W}' height='{H}'>"
+                f"<polyline points='{pts}' fill='none' stroke='#36c' "
+                f"stroke-width='1.5'/>"
+                f"<text x='{pad}' y='12' class='t'>last: {ys[-1]:.5g}"
+                f"  min: {min(ys):.5g}  max: {max(ys):.5g}</text></svg></div>"
+            )
+        html = (
+            "<html><head><style>body{font-family:sans-serif;display:flex;"
+            "flex-wrap:wrap}.p{margin:8px;border:1px solid #ddd;padding:4px}"
+            "h3{margin:2px;font-size:13px}.t{font-size:10px;fill:#666}"
+            "</style></head><body>" + "".join(panels) + "</body></html>"
+        )
+        with open(path, "w") as f:
+            f.write(html)
+        return path
+
     def close(self) -> None:
         self._fh.close()
