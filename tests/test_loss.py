@@ -4,6 +4,7 @@ per-object numpy reimplementation of the reference semantics
 paper-correct coord term, stop-grad IoU target)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -162,3 +163,42 @@ def test_loss_tie_goes_to_first_box():
     total, parts = yolo_v1_loss(jnp.asarray(pred), jnp.asarray(target))
     # obj cell: row 3 col 3. Slot 0 responsible with IoU 1 -> (0.9-1)^2.
     np.testing.assert_allclose(float(parts["confidence"]), 0.01, rtol=1e-5)
+
+
+def test_pallas_assignment_matches_xla(rng):
+    """The fused Pallas assignment kernel (interpret mode) gives the same
+    loss AND gradients as the vectorized XLA path."""
+    import dataclasses
+
+    for S in (7, 14):
+        pred, target = make_pair(rng, 2, S)
+        cfg_x = YoloV1LossConfig(S=S)
+        cfg_p = YoloV1LossConfig(
+            S=S, assignment_impl="pallas", assignment_interpret=True
+        )
+        tx, px = yolo_v1_loss(jnp.asarray(pred), jnp.asarray(target), cfg_x)
+        tp, pp = yolo_v1_loss(jnp.asarray(pred), jnp.asarray(target), cfg_p)
+        np.testing.assert_allclose(float(tx), float(tp), rtol=1e-6)
+        for k in px:
+            np.testing.assert_allclose(
+                float(px[k]), float(pp[k]), rtol=1e-5, atol=1e-7, err_msg=k
+            )
+        gx = jax.grad(lambda p: yolo_v1_loss(p, jnp.asarray(target), cfg_x)[0])(
+            jnp.asarray(pred)
+        )
+        gp = jax.grad(lambda p: yolo_v1_loss(p, jnp.asarray(target), cfg_p)[0])(
+            jnp.asarray(pred)
+        )
+        np.testing.assert_allclose(
+            np.asarray(gx), np.asarray(gp), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_pallas_assignment_requires_stop_gradient(rng):
+    pred, target = make_pair(rng, 1, 7)
+    cfg = YoloV1LossConfig(
+        S=7, assignment_impl="pallas", assignment_interpret=True,
+        iou_target_stop_gradient=False,
+    )
+    with pytest.raises(AssertionError):
+        yolo_v1_loss(jnp.asarray(pred), jnp.asarray(target), cfg)

@@ -69,3 +69,16 @@ def test_registry_aliases():
     assert "densenet" in available_models()
     with pytest.raises(KeyError):
         build_model("yolo9000")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,S", [
+    ("resnext50_32x4d", 14),
+    ("densenet169", 14),
+    ("resnet101", 14),
+])
+def test_extended_zoo_shapes(name, S):
+    model = build_model(name, S=S, dtype=jnp.float32)
+    x = jnp.zeros((1, 448, 448, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    assert model.apply(variables, x, train=False).shape == (1, S, S, 30)

@@ -55,6 +55,10 @@ class YoloV1LossConfig:
     lambda_coord: float = 5.0
     lambda_noobj: float = 0.5
     iou_target_stop_gradient: bool = True
+    # 'xla' (vectorized, differentiable) or 'pallas' (fused VMEM kernel,
+    # ops/pallas/assign_kernel.py; requires iou_target_stop_gradient).
+    assignment_impl: str = "xla"
+    assignment_interpret: bool = False  # Pallas interpreter (CPU tests)
 
 
 def _safe_sqrt(x: Array) -> Array:
@@ -94,19 +98,39 @@ def yolo_v1_loss(
 
     # --- responsible-box assignment (vectorized v1Loss.py:64-78) ---
     pred_boxes = pred[..., B : 5 * B].reshape(N, S, S, B, 4)
-    gt_box = target[..., B : B + 4]  # all B slots identical (encoder)
-    pred_xyxy = cell_cxcywh_to_xyxy(pred_boxes, S)  # [N,S,S,B,4]
-    gt_xyxy = cell_cxcywh_to_xyxy(gt_box, S)[..., None, :]  # [N,S,S,1,4]
-    ious = elementwise_iou(pred_xyxy, jnp.broadcast_to(gt_xyxy, pred_xyxy.shape))
-    resp = jax.nn.one_hot(jnp.argmax(ious, axis=-1), B, dtype=jnp.float32)
-    contain = resp * obj[..., None]  # [N, S, S, B]
+    if config.assignment_impl == "pallas":
+        assert config.iou_target_stop_gradient, (
+            "the Pallas assignment kernel has no VJP; it requires "
+            "iou_target_stop_gradient=True"
+        )
+        from yolo_v1_tpu.ops.pallas.assign_kernel import pallas_assignment
+
+        contain, masked_iou = pallas_assignment(
+            jax.lax.stop_gradient(pred),
+            target,
+            S=S,
+            B=B,
+            C=C,
+            interpret=config.assignment_interpret,
+        )
+        ious = masked_iou  # only the responsible slot is ever read below
+        iou_target = masked_iou
+    else:
+        gt_box = target[..., B : B + 4]  # all B slots identical (encoder)
+        pred_xyxy = cell_cxcywh_to_xyxy(pred_boxes, S)  # [N,S,S,B,4]
+        gt_xyxy = cell_cxcywh_to_xyxy(gt_box, S)[..., None, :]  # [N,S,S,1,4]
+        ious = elementwise_iou(
+            pred_xyxy, jnp.broadcast_to(gt_xyxy, pred_xyxy.shape)
+        )
+        resp = jax.nn.one_hot(jnp.argmax(ious, axis=-1), B, dtype=jnp.float32)
+        contain = resp * obj[..., None]  # [N, S, S, B]
+        iou_target = ious
+        if config.iou_target_stop_gradient:
+            iou_target = jax.lax.stop_gradient(iou_target)
     not_contain = 1.0 - contain
 
     # --- confidence losses (v1Loss.py:90-91) ---
     pred_conf = pred[..., :B]
-    iou_target = ious
-    if config.iou_target_stop_gradient:
-        iou_target = jax.lax.stop_gradient(iou_target)
     obj_conf_loss = jnp.sum(contain * (pred_conf - iou_target) ** 2)
     noobj_conf_loss = jnp.sum(not_contain * pred_conf**2)
 

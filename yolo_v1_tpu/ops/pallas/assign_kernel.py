@@ -1,0 +1,121 @@
+"""Pallas TPU kernel for the YOLOv1 responsible-box assignment.
+
+Computes, in one fused VMEM pass per image, the two stop-gradient tensors
+the loss needs (the outputs of the reference's per-object Python loop,
+/root/reference/v1Loss.py:64-78):
+
+  contain    [N, S, S, B]  — one-hot of the IoU-arg-max ("responsible") box
+                             in every object cell, 0 elsewhere;
+  iou_target [N, S, S, B]  — the realized IoU at the responsible slot (the
+                             confidence regression target, v1Loss.py:90).
+
+Box comparison uses the reference's shared-cell coordinate trick
+(corners = center/S ± wh/2, no cell offset — it cancels inside one cell;
+utils/utils.py:59-75).  Ties go to the first box slot like torch's max.
+
+The assignment is used under ``stop_gradient`` (the loss's default), so the
+kernel needs no VJP; ``losses.yolov1`` calls it with gradient-stopped
+inputs when ``assignment_impl='pallas'``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _assign_kernel(pred_ref, tgt_ref, contain_ref, iou_ref, *, S: int, B: int):
+    """One image: pred/tgt [1, S*S, B*5+C] -> contain/iou [1, S*S, B]."""
+    cells = pred_ref.shape[1]
+    pred = pred_ref[0]  # [cells, ch]
+    tgt = tgt_ref[0]
+
+    obj = jnp.where(tgt[:, 0:1] == 1.0, 1.0, 0.0)  # [cells, 1]
+
+    # GT corners (shared by all B slots; encoder duplicates the box).
+    gcx = tgt[:, B : B + 1] / S
+    gcy = tgt[:, B + 1 : B + 2] / S
+    ghw = 0.5 * tgt[:, B + 2 : B + 3]
+    ghh = 0.5 * tgt[:, B + 3 : B + 4]
+    gx1, gy1, gx2, gy2 = gcx - ghw, gcy - ghh, gcx + ghw, gcy + ghh
+    garea = (gx2 - gx1) * (gy2 - gy1)
+
+    ious = []
+    for b in range(B):
+        o = B + 4 * b
+        pcx = pred[:, o : o + 1] / S
+        pcy = pred[:, o + 1 : o + 2] / S
+        phw = 0.5 * pred[:, o + 2 : o + 3]
+        phh = 0.5 * pred[:, o + 3 : o + 4]
+        px1, py1, px2, py2 = pcx - phw, pcy - phh, pcx + phw, pcy + phh
+        iw = jnp.maximum(jnp.minimum(px2, gx2) - jnp.maximum(px1, gx1), 0.0)
+        ih = jnp.maximum(jnp.minimum(py2, gy2) - jnp.maximum(py1, gy1), 0.0)
+        inter = iw * ih
+        union = (px2 - px1) * (py2 - py1) + garea - inter
+        ious.append(
+            jnp.where(union > 0, inter / jnp.where(union > 0, union, 1.0), 0.0)
+        )
+    iou_sb = jnp.concatenate(ious, axis=1)  # [cells, B]
+
+    best = jnp.max(iou_sb, axis=1, keepdims=True)  # [cells, 1]
+    is_best = jnp.where(iou_sb == best, 1.0, 0.0)  # ties -> several ones
+    # First-slot tie-break (torch max semantics): slot b is responsible iff
+    # it is best and no earlier slot is. Static unrolled prefix over the
+    # tiny B axis (Mosaic has no cumsum).
+    taken = jnp.zeros_like(is_best[:, 0:1])
+    cols = []
+    for b in range(B):
+        this = is_best[:, b : b + 1] * (1.0 - taken)
+        cols.append(this)
+        taken = jnp.maximum(taken, this)
+    resp = jnp.concatenate(cols, axis=1)
+
+    contain_ref[0] = resp * obj
+    iou_ref[0] = iou_sb * resp * obj
+
+
+@functools.partial(
+    jax.jit, static_argnames=("S", "B", "C", "interpret")
+)
+def pallas_assignment(
+    pred: Array,
+    target: Array,
+    S: int,
+    B: int = 2,
+    C: int = 20,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """(contain, iou_target), each [N, S, S, B] — fused Pallas assignment."""
+    N = pred.shape[0]
+    ch = B * 5 + C
+    cells = S * S
+    pred2 = pred.reshape(N, cells, ch).astype(jnp.float32)
+    tgt2 = target.reshape(N, cells, ch).astype(jnp.float32)
+    kernel = functools.partial(_assign_kernel, S=S, B=B)
+    contain, iou_t = pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, cells, ch), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cells, ch), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cells, B), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cells, B), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, cells, B), jnp.float32),
+            jax.ShapeDtypeStruct((N, cells, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pred2, tgt2)
+    return contain.reshape(N, S, S, B), iou_t.reshape(N, S, S, B)
