@@ -1,0 +1,138 @@
+"""On-device batched augmentation tests: box math under flips/affine,
+determinism, color-space round trip, loader integration."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_v1_tpu.core.grid import encode_targets
+from yolo_v1_tpu.data.device_augment import (
+    DeviceAugmentConfig, augment_and_encode_batch, hsv_to_rgb, rgb_to_hsv,
+)
+
+NOOP = DeviceAugmentConfig(
+    flip_lr_prob=0.0, flip_ud_prob=0.0, affine_prob=0.0, pixel_prob=0.0
+)
+
+
+def make_batch(rng, n=2, size=112, m=3):
+    images = rng.integers(0, 255, (n, size, size, 3), np.uint8)
+    boxes = np.zeros((n, m, 4), np.float32)
+    boxes[:, :, :2] = rng.uniform(0.3, 0.7, (n, m, 2))
+    boxes[:, :, 2:] = rng.uniform(0.1, 0.3, (n, m, 2))
+    labels = rng.integers(0, 20, (n, m)).astype(np.int32)
+    counts = np.full((n,), m, np.int32)
+    return images, boxes, labels, counts
+
+
+def test_noop_config_matches_plain_encode(rng):
+    images, boxes, labels, counts = make_batch(rng)
+    imgs, targets = augment_and_encode_batch(
+        jax.random.PRNGKey(0), images, boxes, labels, counts, S=7, cfg=NOOP
+    )
+    want = np.asarray(encode_targets(boxes, labels, counts, S=7))
+    np.testing.assert_allclose(np.asarray(targets), want, atol=1e-5)
+    # Images are ImageNet-normalized copies of the input.
+    back = (
+        np.asarray(imgs) * np.array([0.229, 0.224, 0.225])
+        + np.array([0.485, 0.456, 0.406])
+    ) * 255.0
+    np.testing.assert_allclose(back, images.astype(np.float32), atol=0.51)
+
+
+def test_flip_lr_box_math(rng):
+    images, boxes, labels, counts = make_batch(rng, n=1, m=1)
+    boxes[0, 0] = [0.25, 0.5, 0.2, 0.3]
+    cfg = dataclasses.replace(NOOP, flip_lr_prob=1.0)
+    imgs, targets = augment_and_encode_batch(
+        jax.random.PRNGKey(1), images, boxes, labels, counts, S=7, cfg=cfg
+    )
+    flipped = boxes.copy()
+    flipped[0, 0, 0] = 0.75
+    want = np.asarray(encode_targets(flipped, labels, counts, S=7))
+    np.testing.assert_allclose(np.asarray(targets), want, atol=1e-4)
+    # Image mirrored.
+    norm = np.asarray(imgs)[0]
+    orig = (images[0].astype(np.float32) / 255.0 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
+    np.testing.assert_allclose(norm, orig[:, ::-1], atol=1e-5)
+
+
+def test_translate_removes_out_boxes(rng):
+    images, boxes, labels, counts = make_batch(rng, n=1, m=1)
+    boxes[0, 0] = [0.06, 0.5, 0.08, 0.2]
+    cfg = dataclasses.replace(
+        NOOP, affine_prob=1.0, scale_range=(1.0, 1.0),
+        rotate_range=(0.0, 0.0), translate_range=(-0.5, -0.5),
+    )
+    imgs, targets = augment_and_encode_batch(
+        jax.random.PRNGKey(2), images, boxes, labels, counts, S=7, cfg=cfg
+    )
+    assert not np.any(np.asarray(targets)[..., 0] == 1.0)
+
+
+def test_identity_affine_keeps_boxes(rng):
+    images, boxes, labels, counts = make_batch(rng)
+    cfg = dataclasses.replace(
+        NOOP, affine_prob=1.0, scale_range=(1.0, 1.0),
+        rotate_range=(0.0, 0.0), translate_range=(0.0, 0.0),
+    )
+    imgs, targets = augment_and_encode_batch(
+        jax.random.PRNGKey(3), images, boxes, labels, counts, S=7, cfg=cfg
+    )
+    want = np.asarray(encode_targets(boxes, labels, counts, S=7))
+    np.testing.assert_allclose(np.asarray(targets), want, atol=1e-3)
+
+
+def test_deterministic_per_key(rng):
+    images, boxes, labels, counts = make_batch(rng)
+    cfg = DeviceAugmentConfig()
+    a = augment_and_encode_batch(
+        jax.random.PRNGKey(7), images, boxes, labels, counts, S=7, cfg=cfg
+    )
+    b = augment_and_encode_batch(
+        jax.random.PRNGKey(7), images, boxes, labels, counts, S=7, cfg=cfg
+    )
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    c = augment_and_encode_batch(
+        jax.random.PRNGKey(8), images, boxes, labels, counts, S=7, cfg=cfg
+    )
+    assert not np.array_equal(np.asarray(a[0]), np.asarray(c[0]))
+
+
+def test_hsv_roundtrip(rng):
+    rgb = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+    back = hsv_to_rgb(rgb_to_hsv(rgb))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=1e-5)
+
+
+def test_device_loader_integration(voc_tree):
+    from yolo_v1_tpu.data.pipeline import (
+        DeviceAugmentedLoader, PipelineConfig, YoloDataset,
+    )
+
+    list_file, _ = voc_tree
+    ds = YoloDataset(
+        list_file, train=False, config=PipelineConfig(image_size=112, S=7)
+    )
+    loader = DeviceAugmentedLoader(ds, batch_size=4)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    images, targets = batches[0]
+    assert images.shape == (4, 112, 112, 3)
+    assert targets.shape == (4, 7, 7, 30)
+    assert np.isfinite(np.asarray(images)).all()
+    # Trainable end-to-end.
+    from yolo_v1_tpu.losses.yolov1 import YoloV1LossConfig
+    from yolo_v1_tpu.models.registry import build_model
+    from yolo_v1_tpu.train.loop import jit_train_step
+    from yolo_v1_tpu.train.state import create_train_state, make_optimizer
+
+    model = build_model("tiny", S=7)
+    tx = make_optimizer(lambda s: 1e-2)
+    state = create_train_state(model, jax.random.PRNGKey(0), (4, 112, 112, 3), tx)
+    step = jit_train_step(YoloV1LossConfig(S=7))
+    state, parts = step(state, images, targets)
+    assert np.isfinite(float(parts["total"]))

@@ -81,8 +81,14 @@ def cmd_train(argv: list[str]) -> int:
     writer = MetricWriter(save_dir, logger=logger)
     pipe_cfg = _pipeline_config(cfg)
 
-    train_ds = YoloDataset(cfg.train_list, train=True, config=pipe_cfg)
-    loader = BatchLoader(train_ds, cfg.batch_size)
+    if cfg.device_augment:
+        from yolo_v1_tpu.data.pipeline import DeviceAugmentedLoader
+
+        train_ds = YoloDataset(cfg.train_list, train=False, config=pipe_cfg)
+        loader = DeviceAugmentedLoader(train_ds, cfg.batch_size)
+    else:
+        train_ds = YoloDataset(cfg.train_list, train=True, config=pipe_cfg)
+        loader = BatchLoader(train_ds, cfg.batch_size)
     logger.info("the dataset has %d images", len(train_ds))
     logger.info("the batch_size is %d", cfg.batch_size)
 

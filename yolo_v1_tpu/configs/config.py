@@ -38,6 +38,10 @@ class ExperimentConfig:
     image_size: int = 448
     num_workers: int = 4
     seed: int = 0
+    # True: flips/affine/pixel ops + normalize + encode run on device as one
+    # jitted program (data/device_augment.py); False: host cv2/numpy
+    # pipeline with the full op family incl. JPEG/blur (data/augment.py).
+    device_augment: bool = False
 
     # eval (train.py:127, utils/utils.py:405)
     little_val: int = 750

@@ -1,0 +1,292 @@
+"""On-device batched augmentation — the whole train-input transform as one
+jitted program.
+
+The reference augments per-sample on CPU workers with imgaug
+(`/root/reference/utils/YOLODataLoader.py:28-79`, SURVEY.md §3.1 'CPU hot
+loop').  This module moves the same op families onto the accelerator:
+
+  uint8 images [N,S*16?,..] --H2D--> (flip | affine-warp | pixel ops)
+  -> ImageNet-normalize -> target-grid encode            [one jit, vmapped]
+
+Families reproduced (probabilities mirror AugmentConfig / the imgaug policy):
+
+* horizontal flip p=.5, vertical flip p=.125 with box mirroring (:66-67);
+* 50%-gated affine (scale 0.8-1.2/axis, translate ±10%, rotate ±5°) as an
+  inverse-mapped bilinear warp (jax.scipy.ndimage.map_coordinates) with the
+  axis-aligned-hull box transform and out-of-image removal (:69-76, :172);
+* 25%-gated pixel ops: additive gaussian noise, elementwise add, global and
+  elementwise multiply, dropout, salt&pepper replace, HSV saturation/value
+  shift (:34-64).  JPEG-compression artifacts and the blur/sharpen pair are
+  host-only (bitstream codecs don't belong on a TPU; separable blurs could
+  be added as convs later) — the host pipeline (data/augment.py) keeps the
+  full family.
+
+Everything is fixed-shape and key-driven: sample k of batch n at epoch e is
+reproducible from fold_in(key, e*N+n).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from yolo_v1_tpu.core.grid import encode_targets
+
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+
+
+@dataclass(frozen=True)
+class DeviceAugmentConfig:
+    flip_lr_prob: float = 0.5
+    flip_ud_prob: float = 0.125
+    affine_prob: float = 0.5
+    scale_range: tuple[float, float] = (0.8, 1.2)
+    translate_range: tuple[float, float] = (-0.1, 0.1)
+    rotate_range: tuple[float, float] = (-5.0, 5.0)
+    pixel_prob: float = 0.25
+    noise_sigma_max: float = 0.1  # of full scale (imgaug 0.1*255)
+    multiply_range: tuple[float, float] = (0.5, 1.5)
+    dropout_rates: tuple[float, float] = (0.05, 0.2)
+    replace_rate: float = 0.05
+    hsv_shift: tuple[float, float] = (-10 / 255, 50 / 255)
+
+
+# --- color space (values in [0,1]) ---
+
+
+def rgb_to_hsv(rgb: Array) -> Array:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.max(rgb, axis=-1)
+    minc = jnp.min(rgb, axis=-1)
+    v = maxc
+    delta = maxc - minc
+    safe = jnp.where(delta > 0, delta, 1.0)
+    s = jnp.where(maxc > 0, delta / jnp.where(maxc > 0, maxc, 1.0), 0.0)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(
+        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def hsv_to_rgb(hsv: Array) -> Array:
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+# --- single-sample augment (vmapped) ---
+
+
+def _affine_params(key: Array, size: int, cfg: DeviceAugmentConfig):
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    sx = jax.random.uniform(k1, minval=cfg.scale_range[0], maxval=cfg.scale_range[1])
+    sy = jax.random.uniform(k2, minval=cfg.scale_range[0], maxval=cfg.scale_range[1])
+    tx = jax.random.uniform(
+        k3, minval=cfg.translate_range[0], maxval=cfg.translate_range[1]
+    ) * size
+    ty = jax.random.uniform(
+        k4, minval=cfg.translate_range[0], maxval=cfg.translate_range[1]
+    ) * size
+    theta = jnp.deg2rad(
+        jax.random.uniform(
+            k5, minval=cfg.rotate_range[0], maxval=cfg.rotate_range[1]
+        )
+    )
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    rs = jnp.array([[c, -s], [s, c]]) @ jnp.array([[sx, 0.0], [0.0, sy]])
+    center = size / 2.0
+    offset = jnp.array([center + tx, center + ty]) - rs @ jnp.array(
+        [center, center]
+    )
+    return rs, offset
+
+
+def _warp_image(img: Array, rs: Array, offset: Array) -> Array:
+    """Inverse-map bilinear warp: out(p) = img(A^-1 (p - offset))."""
+    size = img.shape[0]
+    inv = jnp.linalg.inv(rs)
+    ys, xs = jnp.meshgrid(jnp.arange(size), jnp.arange(size), indexing="ij")
+    pts = jnp.stack([xs.ravel(), ys.ravel()], axis=0).astype(jnp.float32)
+    src = inv @ (pts - offset[:, None])  # [2, size*size] (x, y)
+    coords = jnp.stack([src[1], src[0]], axis=0)  # map_coordinates wants (row, col)
+    warped = jax.vmap(
+        lambda ch: jax.scipy.ndimage.map_coordinates(
+            ch, coords, order=1, mode="constant", cval=0.0
+        ).reshape(size, size),
+        in_axes=-1,
+        out_axes=-1,
+    )(img)
+    return warped
+
+
+def _transform_boxes_affine(xyxy: Array, rs: Array, offset: Array) -> Array:
+    x1, y1, x2, y2 = xyxy[:, 0], xyxy[:, 1], xyxy[:, 2], xyxy[:, 3]
+    corners = jnp.stack(
+        [
+            jnp.stack([x1, y1], -1), jnp.stack([x2, y1], -1),
+            jnp.stack([x2, y2], -1), jnp.stack([x1, y2], -1),
+        ],
+        axis=1,
+    )  # [M, 4, 2]
+    warped = corners @ rs.T + offset
+    return jnp.concatenate([warped.min(axis=1), warped.max(axis=1)], axis=-1)
+
+
+def _pixel_ops(key: Array, img: Array, cfg: DeviceAugmentConfig) -> Array:
+    """Gated pixel family on a [H,W,3] float image in [0,1]."""
+    keys = jax.random.split(key, 13)
+    gate = jax.random.uniform(keys[0]) < cfg.pixel_prob
+    # Independently coin-flip each op inside the gate (the reference draws
+    # SomeOf(1..3) of 10; expected ~2 active — we use p=0.2 per op).
+    act = jax.random.uniform(keys[1], (7,)) < 0.2
+
+    out = img
+    # additive gaussian noise
+    noise = jax.random.normal(keys[2], img.shape) * (
+        jax.random.uniform(keys[3]) * cfg.noise_sigma_max
+    )
+    out = jnp.where(gate & act[0], out + noise, out)
+    # elementwise add (imgaug AddElementwise(-50, 50))
+    add = jax.random.uniform(keys[4], img.shape, minval=-50 / 255, maxval=50 / 255)
+    out = jnp.where(gate & act[1], out + add, out)
+    # global multiply
+    m = jax.random.uniform(
+        keys[5], minval=cfg.multiply_range[0], maxval=cfg.multiply_range[1]
+    )
+    out = jnp.where(gate & act[2], out * m, out)
+    # elementwise multiply
+    me = jax.random.uniform(
+        keys[6], img.shape, minval=cfg.multiply_range[0],
+        maxval=cfg.multiply_range[1],
+    )
+    out = jnp.where(gate & act[3], out * me, out)
+    # dropout
+    rate = jnp.where(
+        jax.random.uniform(keys[7]) < 0.5, cfg.dropout_rates[0],
+        cfg.dropout_rates[1],
+    )
+    drop = jax.random.uniform(keys[8], img.shape[:2]) < rate
+    out = jnp.where(gate & act[4], out * (1.0 - drop[..., None]), out)
+    # salt & pepper replace
+    rep = jax.random.uniform(keys[9], img.shape[:2]) < cfg.replace_rate
+    salt = (jax.random.uniform(keys[10], img.shape[:2]) < 0.5).astype(out.dtype)
+    out = jnp.where(
+        (gate & act[5]) & rep[..., None], salt[..., None], out
+    )
+    # HSV S or V shift
+    which = jax.random.uniform(keys[11]) < 0.5
+    delta = jax.random.uniform(
+        keys[12], minval=cfg.hsv_shift[0], maxval=cfg.hsv_shift[1]
+    )
+    hsv = rgb_to_hsv(jnp.clip(out, 0.0, 1.0))
+    hsv_s = hsv.at[..., 1].add(delta)
+    hsv_v = hsv.at[..., 2].add(delta)
+    shifted = hsv_to_rgb(jnp.clip(jnp.where(which, hsv_s, hsv_v), 0.0, 1.0))
+    out = jnp.where(gate & act[6], shifted, out)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def _augment_one(
+    key: Array,
+    img: Array,  # [H, W, 3] float in [0,1]
+    boxes: Array,  # [M, 4] cxcywh normalized (padded)
+    valid: Array,  # [M] bool
+    cfg: DeviceAugmentConfig,
+) -> tuple[Array, Array, Array]:
+    size = img.shape[0]
+    k_lr, k_ud, k_aff_gate, k_aff, k_pix = jax.random.split(key, 5)
+
+    xyxy = jnp.concatenate(
+        [boxes[:, :2] - 0.5 * boxes[:, 2:], boxes[:, :2] + 0.5 * boxes[:, 2:]],
+        axis=1,
+    ) * size
+
+    flip_lr = jax.random.uniform(k_lr) < cfg.flip_lr_prob
+    img = jnp.where(flip_lr, img[:, ::-1], img)
+    xyxy = jnp.where(
+        flip_lr,
+        jnp.stack(
+            [size - xyxy[:, 2], xyxy[:, 1], size - xyxy[:, 0], xyxy[:, 3]], -1
+        ),
+        xyxy,
+    )
+    flip_ud = jax.random.uniform(k_ud) < cfg.flip_ud_prob
+    img = jnp.where(flip_ud, img[::-1], img)
+    xyxy = jnp.where(
+        flip_ud,
+        jnp.stack(
+            [xyxy[:, 0], size - xyxy[:, 3], xyxy[:, 2], size - xyxy[:, 1]], -1
+        ),
+        xyxy,
+    )
+
+    do_affine = jax.random.uniform(k_aff_gate) < cfg.affine_prob
+    rs, offset = _affine_params(k_aff, size, cfg)
+    img = jnp.where(do_affine, _warp_image(img, rs, offset), img)
+    xyxy = jnp.where(do_affine, _transform_boxes_affine(xyxy, rs, offset), xyxy)
+
+    img = _pixel_ops(k_pix, img, cfg)
+
+    # Remove fully-outside boxes; clip the rest (YOLODataLoader.py:172).
+    inside = (
+        (xyxy[:, 2] > 0) & (xyxy[:, 3] > 0)
+        & (xyxy[:, 0] < size) & (xyxy[:, 1] < size)
+    )
+    xyxy = jnp.clip(xyxy, 0.0, size)
+    nonempty = (xyxy[:, 2] - xyxy[:, 0] > 1) & (xyxy[:, 3] - xyxy[:, 1] > 1)
+    valid = valid & inside & nonempty
+
+    out_boxes = jnp.concatenate(
+        [(xyxy[:, :2] + xyxy[:, 2:]) / 2.0, xyxy[:, 2:] - xyxy[:, :2]],
+        axis=1,
+    ) / size
+    return img, out_boxes, valid
+
+
+@partial(jax.jit, static_argnames=("S", "B", "C", "cfg"))
+def augment_and_encode_batch(
+    key: Array,
+    images_u8: Array,  # [N, H, W, 3] uint8 RGB
+    boxes: Array,  # [N, M, 4] cxcywh normalized, padded
+    labels: Array,  # [N, M]
+    counts: Array,  # [N]
+    S: int,
+    B: int = 2,
+    C: int = 20,
+    cfg: DeviceAugmentConfig = DeviceAugmentConfig(),
+) -> tuple[Array, Array]:
+    """uint8 batch -> (normalized float images, encoded target grids),
+    augmented, in ONE jitted program."""
+    N, M = boxes.shape[0], boxes.shape[1]
+    imgs = images_u8.astype(jnp.float32) / 255.0
+    valid = jnp.arange(M)[None, :] < counts[:, None]
+    keys = jax.random.split(key, N)
+    imgs, aug_boxes, aug_valid = jax.vmap(
+        partial(_augment_one, cfg=cfg)
+    )(keys, imgs, boxes, valid)
+    imgs = (imgs - IMAGENET_MEAN) / IMAGENET_STD
+
+    # encode_targets takes counts; emulate an arbitrary validity mask by
+    # zeroing invalid boxes (zero-sized boxes are dropped by the encoder).
+    safe_boxes = jnp.where(aug_valid[..., None], aug_boxes, 0.0)
+    targets = encode_targets(
+        safe_boxes, labels, jnp.full((N,), M, jnp.int32), S=S, B=B, C=C
+    )
+    return imgs, targets

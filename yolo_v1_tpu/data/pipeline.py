@@ -121,11 +121,63 @@ def collate(
     return images, boxes, labels, counts
 
 
+class DeviceAugmentedLoader:
+    """Batch loader whose augmentation runs ON DEVICE (data/device_augment):
+    workers only decode JPEG + resize; flips/affine/pixel ops, ImageNet
+    normalization and target encoding are one jitted program per batch.
+
+    Construct over a ``YoloDataset(train=False)`` (host augmentation off);
+    randomness comes from (seed, epoch, batch) PRNG keys.
+    """
+
+    def __init__(
+        self,
+        dataset: "YoloDataset",
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        augment_config=None,
+    ):
+        from yolo_v1_tpu.data.device_augment import (
+            DeviceAugmentConfig, augment_and_encode_batch,
+        )
+
+        assert not dataset.train, (
+            "use a train=False dataset; augmentation happens on device"
+        )
+        self._augment = augment_and_encode_batch
+        self.augment_config = augment_config or DeviceAugmentConfig()
+        self._raw = BatchLoader(
+            dataset, batch_size, shuffle=shuffle, drop_last=drop_last,
+            encode=False, raw=True,
+        )
+        self.dataset = dataset
+
+    def __len__(self) -> int:
+        return len(self._raw)
+
+    def epoch(self, epoch: int = 0):
+        import jax
+
+        cfg = self.dataset.config
+        for bi, (images_u8, boxes, labels, counts) in enumerate(
+            self._raw.epoch(epoch)
+        ):
+            key = jax.random.PRNGKey(cfg.seed)
+            key = jax.random.fold_in(jax.random.fold_in(key, epoch), bi)
+            yield self._augment(
+                key, images_u8, boxes, labels, counts,
+                S=cfg.S, B=cfg.B, C=cfg.C, cfg=self.augment_config,
+            )
+
+
 class BatchLoader:
     """Shuffling, prefetching batch iterator yielding (images, targets).
 
     Targets are encoded batched via the jitted device encoder — the analog
     of moving YOLODataLoader.encoder out of the worker hot loop.
+    With ``raw=True`` yields (uint8 images, boxes, labels, counts) for the
+    device-augmentation path (DeviceAugmentedLoader).
     """
 
     def __init__(
@@ -135,12 +187,14 @@ class BatchLoader:
         shuffle: bool = True,
         drop_last: bool = True,
         encode: bool = True,
+        raw: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.encode = encode
+        self.raw = raw
         self._pool = ThreadPoolExecutor(max_workers=dataset.config.num_workers)
 
     def __len__(self) -> int:
@@ -157,12 +211,13 @@ class BatchLoader:
         nb = len(self)
         futures = None
 
+        load = self.dataset.load_raw if self.raw else self.dataset.load_sample
+
         def submit(bi):
             idxs = order[bi * self.batch_size : (bi + 1) * self.batch_size]
-            return [
-                self._pool.submit(self.dataset.load_sample, int(i), epoch)
-                for i in idxs
-            ]
+            if self.raw:
+                return [self._pool.submit(load, int(i)) for i in idxs]
+            return [self._pool.submit(load, int(i), epoch) for i in idxs]
 
         for bi in range(nb):
             if futures is None:
