@@ -1,0 +1,66 @@
+"""CLI end-to-end tests on the virtual 8-device CPU mesh: train (with the
+data-parallel mesh path), map, prepare-data, config parsing."""
+
+import os
+
+import numpy as np
+import pytest
+
+from yolo_v1_tpu import cli
+from yolo_v1_tpu.configs.config import ExperimentConfig
+
+
+def _train_args(list_file, save_dir, extra=()):
+    return [
+        "--backbone", "tiny", "--S", "7", "--image_size", "112",
+        "--batch_size", "8", "--num_epochs", "2",
+        "--train_list", list_file, "--test_list", list_file,
+        "--little_val", "8", "--eval_batch_size", "8",
+        "--run_full_map_threshold", "0.0", "--bf16", "false",
+        "--save_dir", save_dir, *extra,
+    ]
+
+
+def test_config_from_args_parses_lr_map():
+    cfg = ExperimentConfig.from_args(
+        ["--lr_adjust_map", "1:0.01,5:0.001", "--batch_size", "4",
+         "--bf16", "false"]
+    )
+    assert cfg.lr_adjust_map == {1: 0.01, 5: 0.001}
+    assert cfg.batch_size == 4
+    assert cfg.bf16 is False
+    assert cfg.resolved_save_dir() == "resnet50_sgd_cellSize14"
+
+
+def test_cli_train_and_map_on_mesh(voc_tree, tmp_path):
+    """Full train command on the 8-device CPU mesh (len(jax.devices())>1
+    triggers the sharded path), then standalone map on the checkpoint."""
+    list_file, _ = voc_tree
+    save_dir = str(tmp_path / "run")
+    rc = cli.main(["train", *_train_args(list_file, save_dir)])
+    assert rc == 0
+    assert os.path.exists(os.path.join(save_dir, "train.log"))
+    assert os.path.exists(os.path.join(save_dir, "metrics.csv"))
+    assert os.path.isdir(os.path.join(save_dir, "latest"))
+
+    rc = cli.main(
+        ["map", "--backbone", "tiny", "--S", "7", "--image_size", "112",
+         "--test_list", list_file, "--eval_batch_size", "8",
+         "--bf16", "false", "--save_dir", save_dir]
+    )
+    assert rc == 0
+
+
+def test_cli_train_device_augment(voc_tree, tmp_path):
+    list_file, _ = voc_tree
+    save_dir = str(tmp_path / "runDA")
+    rc = cli.main(
+        ["train", *_train_args(list_file, save_dir, ("--device_augment", "true",
+                                                     "--test_list", ""))]
+    )
+    assert rc == 0
+
+
+def test_cli_usage():
+    assert cli.main([]) == 2
+    assert cli.main(["bogus"]) == 2

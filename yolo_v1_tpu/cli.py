@@ -84,10 +84,16 @@ def cmd_train(argv: list[str]) -> int:
     if cfg.device_augment:
         from yolo_v1_tpu.data.pipeline import DeviceAugmentedLoader
 
-        train_ds = YoloDataset(cfg.train_list, train=False, config=pipe_cfg)
+        train_ds = YoloDataset(
+            cfg.train_list, train=False, config=pipe_cfg,
+            little_train=cfg.little_train,
+        )
         loader = DeviceAugmentedLoader(train_ds, cfg.batch_size)
     else:
-        train_ds = YoloDataset(cfg.train_list, train=True, config=pipe_cfg)
+        train_ds = YoloDataset(
+            cfg.train_list, train=True, config=pipe_cfg,
+            little_train=cfg.little_train,
+        )
         loader = BatchLoader(train_ds, cfg.batch_size)
     logger.info("the dataset has %d images", len(train_ds))
     logger.info("the batch_size is %d", cfg.batch_size)

@@ -42,6 +42,7 @@ class ExperimentConfig:
     # jitted program (data/device_augment.py); False: host cv2/numpy
     # pipeline with the full op family incl. JPEG/blur (data/augment.py).
     device_augment: bool = False
+    little_train: bool = False  # truncate to 64*8 samples (YOLODataLoader.py:85)
 
     # eval (train.py:127, utils/utils.py:405)
     little_val: int = 750
