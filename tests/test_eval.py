@@ -103,3 +103,31 @@ def test_detections_to_preds_scaling():
     keep = np.array([[True]])
     preds = detections_to_preds(boxes, scores, classes, keep, ["imgX"])
     assert preds[VOC_CLASSES[7]] == [["imgX", pytest.approx(0.9), 112, 112, 224, 224]]
+
+
+def test_evaluator_on_mesh_matches_single_device(eval_setup):
+    from yolo_v1_tpu.parallel.mesh import make_mesh
+
+    ds, target, gt = eval_setup
+    model = build_model("tiny", S=7)
+    tx = None
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        apply_fn=model.apply,
+        params=model.init(
+            jax.random.PRNGKey(3), jnp.zeros((1, 112, 112, 3)), train=False
+        )["params"],
+        batch_stats=model.init(
+            jax.random.PRNGKey(3), jnp.zeros((1, 112, 112, 3)), train=False
+        )["batch_stats"],
+        tx=None,
+        opt_state=None,
+    )
+    e1 = VocEvaluator(ds, gt_full=target, batch_size=8, score_threshold=0.02)
+    e8 = VocEvaluator(
+        ds, gt_full=target, batch_size=8, score_threshold=0.02,
+        mesh=make_mesh(8),
+    )
+    m1 = e1.full_map(state)
+    m8 = e8.full_map(state)
+    assert m1 == pytest.approx(m8, abs=1e-6)

@@ -98,6 +98,8 @@ def cmd_train(argv: list[str]) -> int:
     logger.info("the dataset has %d images", len(train_ds))
     logger.info("the batch_size is %d", cfg.batch_size)
 
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+
     evaluator = None
     if cfg.test_list:
         test_ds = YoloDataset(cfg.test_list, train=False, config=pipe_cfg)
@@ -109,6 +111,7 @@ def cmd_train(argv: list[str]) -> int:
             batch_size=cfg.eval_batch_size,
             score_threshold=cfg.score_threshold,
             nms_threshold=cfg.nms_threshold,
+            mesh=mesh,
             logger=logger,
         )
 
@@ -120,7 +123,6 @@ def cmd_train(argv: list[str]) -> int:
         start_epoch += 1
         logger.info("resumed from epoch %d", start_epoch)
 
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
     loss_cfg = YoloV1LossConfig(
         S=cfg.S, B=cfg.B, C=cfg.num_classes,
         lambda_coord=cfg.lambda_coord, lambda_noobj=cfg.lambda_noobj,

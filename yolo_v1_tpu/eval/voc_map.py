@@ -38,16 +38,18 @@ def make_detector(
     score_threshold: float = 0.005,
     nms_threshold: float = 0.45,
     nms_impl: str = "xla",
+    mesh=None,
 ) -> Callable:
     """Jitted (state, images) -> (boxes, scores, classes, keep), all [N,K,...].
 
     Boxes come out clamped to [0,1] (utils/utils.py:406); scaling to pixels
     happens host-side.  ``nms_impl``: 'xla' (vectorized lax loop) or
     'pallas' (VMEM-resident TPU kernel, ops/pallas/nms_kernel.py) — both
-    produce the identical greedy keep set.
+    produce the identical greedy keep set.  With ``mesh``, the image batch
+    (and every per-candidate output) shards over the 'data' axis so eval
+    scales across chips like training does.
     """
 
-    @jax.jit
     def detect(state: TrainState, images: jax.Array):
         pred = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -69,7 +71,16 @@ def make_detector(
             )
         return jnp.clip(boxes, 0.0, 1.0), scores, classes, keep
 
-    return detect
+    if mesh is None:
+        return jax.jit(detect)
+    from yolo_v1_tpu.parallel.mesh import data_sharding, replicated
+
+    data = data_sharding(mesh)
+    return jax.jit(
+        detect,
+        in_shardings=(replicated(mesh), data),
+        out_shardings=(data, data, data, data),
+    )
 
 
 def detections_to_preds(
@@ -110,6 +121,7 @@ class VocEvaluator:
         nms_threshold: float = 0.45,
         match_iou: float = 0.5,
         eval_image_size: int = 448,
+        mesh=None,
         logger=None,
     ):
         self.dataset = dataset
@@ -121,9 +133,11 @@ class VocEvaluator:
         self.match_iou = match_iou
         self.logger = logger
         cfg = dataset.config
+        self.mesh = mesh
         self.detector = make_detector(
             S=cfg.S, B=cfg.B, C=cfg.C,
             score_threshold=score_threshold, nms_threshold=nms_threshold,
+            mesh=mesh,
         )
         # Predictions are scaled into the GT's pixel frame — always 448 in
         # the reference regardless of network input (utils/utils.py:356-387
@@ -142,8 +156,14 @@ class VocEvaluator:
             if images.shape[0] < bs:  # pad for a single compiled shape
                 pad = bs - images.shape[0]
                 images = np.concatenate([images, np.zeros_like(images[:1]).repeat(pad, 0)])
+            if self.mesh is not None:
+                from yolo_v1_tpu.parallel.mesh import shard_batch
+
+                device_images = shard_batch(self.mesh, images)
+            else:
+                device_images = jnp.asarray(images)
             boxes, scores, classes, keep = jax.tree.map(
-                np.asarray, self.detector(state, jnp.asarray(images))
+                np.asarray, self.detector(state, device_images)
             )
             detections_to_preds(
                 boxes[: len(ids)], scores[: len(ids)], classes[: len(ids)],
