@@ -31,8 +31,9 @@ def test_save_restore_roundtrip(tmp_path):
     assert mgr.exists(best=False) and not mgr.exists(best=True)
 
     fresh = _state()
-    restored, epoch = mgr.restore(fresh)
+    restored, epoch, extras = mgr.restore(fresh)
     assert epoch == 7
+    assert extras == {"best_map": 0.0, "last_little_map": 0.0}
     assert int(restored.step) == 42
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -45,11 +46,23 @@ def test_save_restore_roundtrip(tmp_path):
 def test_best_and_latest_are_separate(tmp_path):
     state = _state()
     mgr = CheckpointManager(str(tmp_path / "ckpt"))
-    mgr.save(state, epoch=1, best=True)
+    mgr.save(state, epoch=1, best=True, extras={"best_map": 0.5})
     mgr.save(state.replace(step=jnp.asarray(9, jnp.int32)), epoch=2, best=False)
-    _, e_best = mgr.restore(_state(), best=True)
-    _, e_latest = mgr.restore(_state(), best=False)
+    _, e_best, ex_best = mgr.restore(_state(), best=True)
+    _, e_latest, _ = mgr.restore(_state(), best=False)
     assert (e_best, e_latest) == (1, 2)
+    assert ex_best["best_map"] == 0.5
+
+
+def test_interrupted_first_epoch_saves_minus_one(tmp_path):
+    """Interrupt during epoch 0 must record 'no epoch completed' (-1) so
+    resume re-runs epoch 0 instead of skipping its remainder."""
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    state = _state()
+    mgr.save(state, epoch=-1, best=False)
+    _, last_completed, _ = mgr.restore(_state())
+    assert last_completed == -1
+    assert last_completed + 1 == 0  # cli resume formula
 
 
 def test_torch_key_mapping_resnet():

@@ -168,3 +168,73 @@ def test_model_summary_and_param_count():
     tx = make_optimizer(lambda s: 1e-3)
     state = create_train_state(model, jax.random.PRNGKey(0), (1, 112, 112, 3), tx)
     assert count_params(state.params) > 1000
+
+
+def test_metric_writer_resumes_step_counters(tmp_path):
+    from yolo_v1_tpu.train.metrics import MetricWriter
+
+    w = MetricWriter(str(tmp_path))
+    for i in range(3):
+        w.plot("train loss", float(i))
+    w.close()
+    w2 = MetricWriter(str(tmp_path))  # simulates --resume relaunch
+    w2.plot("train loss", 99.0)
+    assert w2.history["train loss"][-1] == (3, 99.0)
+    w2.close()
+    import csv
+
+    rows = [r for r in csv.reader(open(tmp_path / "metrics.csv"))][1:]
+    keys = [(r[1], r[2]) for r in rows]
+    assert len(keys) == len(set(keys))  # no duplicate (series, step)
+
+
+def test_largest_divisor_device_count():
+    from yolo_v1_tpu.parallel.mesh import largest_divisor_device_count
+
+    assert largest_divisor_device_count(12, 8) == 6
+    assert largest_divisor_device_count(16, 8) == 8
+    assert largest_divisor_device_count(7, 8) == 7
+    assert largest_divisor_device_count(5, 4) == 1
+
+
+def test_fit_resume_keeps_best_map(tmp_path):
+    """Resumed fit must not let a worse eval clobber the persisted best."""
+    from yolo_v1_tpu.train import checkpoint as ckpt
+
+    state, images, targets = _tiny_setup()
+
+    class FakeEval:
+        def __init__(self, little, full):
+            self.little, self.full = little, full
+
+        def little_map(self, s):
+            return self.little
+
+        def full_map(self, s):
+            return self.full
+
+    def loader(epoch):
+        yield images, targets
+
+    mgr = ckpt.CheckpointManager(str(tmp_path / "ck"))
+    # First run: good model, best_map 0.6.
+    state, result = fit(
+        state, loader, YoloV1LossConfig(S=7),
+        config=FitConfig(num_epochs=1, run_full_map_threshold=0.0),
+        evaluator=FakeEval(0.7, 0.6), checkpointer=mgr,
+    )
+    best_step_before = mgr.restore(_tiny_setup()[0], best=True)[0].step
+    # Resume: worse model (full eval 0.3) must NOT overwrite best.
+    state2, last, gates = mgr.restore(_tiny_setup()[0])
+    assert gates["best_map"] == 0.6
+    state2, result2 = fit(
+        state2, loader, YoloV1LossConfig(S=7),
+        config=FitConfig(num_epochs=2, run_full_map_threshold=0.0),
+        evaluator=FakeEval(0.9, 0.3), checkpointer=mgr,
+        start_epoch=last + 1,
+        initial_best_map=gates["best_map"],
+        initial_last_little_map=gates["last_little_map"],
+    )
+    assert result2.best_map == 0.6
+    best_after, e_best, ex = mgr.restore(_tiny_setup()[0], best=True)
+    assert int(best_after.step) == int(best_step_before)

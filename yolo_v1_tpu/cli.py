@@ -98,7 +98,21 @@ def cmd_train(argv: list[str]) -> int:
     logger.info("the dataset has %d images", len(train_ds))
     logger.info("the batch_size is %d", cfg.batch_size)
 
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    from yolo_v1_tpu.parallel.mesh import largest_divisor_device_count
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        # The data axis must divide both the train and eval batch sizes.
+        n = largest_divisor_device_count(cfg.batch_size)
+        n = largest_divisor_device_count(cfg.eval_batch_size, n)
+        if n > 1:
+            mesh = make_mesh(n)
+            if n < len(jax.devices()):
+                logger.warning(
+                    "using %d of %d devices (batch sizes %d/%d must divide "
+                    "the data axis)", n, len(jax.devices()),
+                    cfg.batch_size, cfg.eval_batch_size,
+                )
 
     evaluator = None
     if cfg.test_list:
@@ -118,10 +132,14 @@ def cmd_train(argv: list[str]) -> int:
     state = _build_state(cfg, steps_per_epoch=max(len(loader), 1), logger=logger)
     manager = ckpt.CheckpointManager(save_dir)
     start_epoch = 0
+    gates = {"best_map": 0.0, "last_little_map": 0.0}
     if cfg.resume and manager.exists():
-        state, start_epoch = manager.restore(state)
-        start_epoch += 1
-        logger.info("resumed from epoch %d", start_epoch)
+        state, last_completed, gates = manager.restore(state)
+        start_epoch = last_completed + 1
+        logger.info(
+            "resumed from epoch %d (best mAP %.5f)", start_epoch,
+            gates["best_map"],
+        )
 
     loss_cfg = YoloV1LossConfig(
         S=cfg.S, B=cfg.B, C=cfg.num_classes,
@@ -141,6 +159,8 @@ def cmd_train(argv: list[str]) -> int:
         metric_writer=writer,
         logger=logger,
         start_epoch=start_epoch,
+        initial_best_map=gates["best_map"],
+        initial_last_little_map=gates["last_little_map"],
     )
     return 0
 
@@ -155,9 +175,9 @@ def cmd_map(argv: list[str]) -> int:
     state = _build_state(cfg, steps_per_epoch=1, logger=logger)
     manager = ckpt.CheckpointManager(save_dir)
     if manager.exists(best=True):
-        state, _ = manager.restore(state, best=True)
+        state, _, _ = manager.restore(state, best=True)
     elif manager.exists():
-        state, _ = manager.restore(state)
+        state, _, _ = manager.restore(state)
     else:
         logger.warning("no checkpoint in %s; evaluating fresh weights", save_dir)
     evaluator = VocEvaluator(
@@ -189,9 +209,9 @@ def cmd_visualize(argv: list[str]) -> int:
     state = _build_state(cfg, steps_per_epoch=1, logger=logger)
     manager = ckpt.CheckpointManager(save_dir)
     if manager.exists(best=True):
-        state, _ = manager.restore(state, best=True)
+        state, _, _ = manager.restore(state, best=True)
     elif manager.exists():
-        state, _ = manager.restore(state)
+        state, _, _ = manager.restore(state)
     detector = make_detector(
         cfg.S, cfg.B, cfg.num_classes,
         score_threshold=0.1,  # eval.py:94 uses thresh .1 for visualization

@@ -228,9 +228,9 @@ class BatchLoader:
             if not self.encode:
                 yield images, boxes, labels, counts
                 continue
-            targets = np.asarray(
-                encode_targets(
-                    boxes, labels, counts, S=cfg.S, B=cfg.B, C=cfg.C
-                )
+            # Keep the encoded grid on device — np.asarray here would force
+            # a D2H copy that fit() immediately re-uploads.
+            targets = encode_targets(
+                boxes, labels, counts, S=cfg.S, B=cfg.B, C=cfg.C
             )
             yield images, targets

@@ -133,6 +133,11 @@ class VocEvaluator:
         self.match_iou = match_iou
         self.logger = logger
         cfg = dataset.config
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(
+            max_workers=max(dataset.config.num_workers, 2)
+        )
         self.mesh = mesh
         self.detector = make_detector(
             S=cfg.S, B=cfg.B, C=cfg.C,
@@ -144,15 +149,27 @@ class VocEvaluator:
         # builds GT at 448; bbox_un_norm :347 scales dets the same way).
         self.image_size = eval_image_size
 
+    def _load_batch(self, start: int, n: int):
+        idxs = list(range(start, min(start + self.batch_size, n)))
+        futures = [
+            self._pool.submit(self.dataset.load_sample, i) for i in idxs
+        ]
+        images = np.stack([f.result()[0] for f in futures])
+        ids = [image_id_of(self.dataset.image_path(i)) for i in idxs]
+        return images, ids
+
     def _run(self, state: TrainState, limit: int | None, gt: dict) -> float:
         n = len(self.dataset) if limit is None else min(limit, len(self.dataset))
         preds: dict = defaultdict(list)
         bs = self.batch_size
+        # One-batch-ahead prefetch: decode/resize the next batch on the
+        # worker pool while the device runs the current one (the reference's
+        # eval loop is fully serial per image, utils/utils.py:394-405).
+        pending = self._pool.submit(self._load_batch, 0, n)
         for start in range(0, n, bs):
-            idxs = range(start, min(start + bs, n))
-            samples = [self.dataset.load_sample(i) for i in idxs]
-            images = np.stack([s[0] for s in samples])
-            ids = [image_id_of(self.dataset.image_path(i)) for i in idxs]
+            images, ids = pending.result()
+            if start + bs < n:
+                pending = self._pool.submit(self._load_batch, start + bs, n)
             if images.shape[0] < bs:  # pad for a single compiled shape
                 pad = bs - images.shape[0]
                 images = np.concatenate([images, np.zeros_like(images[:1]).repeat(pad, 0)])

@@ -63,6 +63,23 @@ def shard_batch(mesh: Mesh, *arrays):
     return out if len(out) > 1 else out[0]
 
 
+def largest_divisor_device_count(
+    batch_size: int, n_devices: int | None = None
+) -> int:
+    """Largest device count <= n_devices that divides batch_size.
+
+    Sharding a [B, ...] batch over a 'data' axis requires the axis size to
+    divide B; callers pick the mesh size with this instead of crashing on
+    e.g. batch 12 over 8 chips (-> 4 devices used, with a warning upstream).
+    """
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    for n in range(min(n_devices, batch_size), 0, -1):
+        if batch_size % n == 0:
+            return n
+    return 1
+
+
 def pad_to_multiple(batch: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
     """Pad the batch dim up to a multiple (uneven final batches must still
     shard evenly over the mesh). Returns (padded, n_real)."""

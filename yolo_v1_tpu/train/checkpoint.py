@@ -44,19 +44,40 @@ class CheckpointManager:
             "opt_state": state.opt_state,
         }
 
+    # Scalars persisted alongside the state so resume restores the
+    # best/last-mAP gates too (see train/loop.fit).
+    _EXTRA_DEFAULTS = {"best_map": 0.0, "last_little_map": 0.0}
+
     def path(self, best: bool) -> str:
         return os.path.join(self.base_path, "best" if best else "latest")
 
-    def save(self, state: TrainState, epoch: int, best: bool = False) -> None:
+    def save(
+        self,
+        state: TrainState,
+        epoch: int,
+        best: bool = False,
+        extras: dict | None = None,
+    ) -> None:
+        """``epoch`` is the LAST COMPLETED epoch (-1 = none completed)."""
         payload = self._payload(state)
         payload["epoch"] = epoch
+        payload.update(self._EXTRA_DEFAULTS)
+        if extras:
+            payload.update({k: float(v) for k, v in extras.items()})
         self._ckptr.save(self.path(best), payload, force=True)
         self._ckptr.wait_until_finished()
 
-    def restore(self, state: TrainState, best: bool = False) -> tuple[TrainState, int]:
-        """Restore into the structure of ``state``; returns (state, epoch)."""
+    def restore(
+        self, state: TrainState, best: bool = False
+    ) -> tuple[TrainState, int, dict]:
+        """Restore into the structure of ``state``.
+
+        Returns (state, last_completed_epoch, extras) — extras carries the
+        persisted best/last-little mAP gates.
+        """
         template = self._payload(state)
         template["epoch"] = 0
+        template.update(self._EXTRA_DEFAULTS)
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
         restored = self._ckptr.restore(self.path(best), abstract)
         new_state = state.replace(
@@ -65,7 +86,10 @@ class CheckpointManager:
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
         )
-        return new_state, int(restored["epoch"])
+        extras = {
+            k: float(restored.get(k, v)) for k, v in self._EXTRA_DEFAULTS.items()
+        }
+        return new_state, int(restored["epoch"]), extras
 
     def exists(self, best: bool = False) -> bool:
         return os.path.isdir(self.path(best))

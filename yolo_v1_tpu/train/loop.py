@@ -29,6 +29,7 @@ from typing import Any, Callable, Iterable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh
 
 from yolo_v1_tpu.losses.yolov1 import YoloV1LossConfig, yolo_v1_loss
@@ -123,6 +124,8 @@ def fit(
     logger: Any = None,
     start_epoch: int = 0,
     profile_dir: str | None = None,
+    initial_best_map: float = 0.0,
+    initial_last_little_map: float = 0.0,
 ) -> tuple[TrainState, FitResult]:
     """Epoch loop with validation gating and checkpointing (train.py:144-209).
 
@@ -142,7 +145,11 @@ def fit(
     config = config or FitConfig()
     step_fn = jit_train_step(loss_config, mesh)
     put = (lambda a: jax.device_put(a, data_sharding(mesh))) if mesh else jnp.asarray
-    result = FitResult()
+    # Resume restores the mAP gates too (persisted in the checkpoint), so a
+    # post-resume epoch can never clobber a better 'best' checkpoint.
+    result = FitResult(
+        best_map=initial_best_map, last_little_map=initial_last_little_map
+    )
     info = logger.info if logger else (lambda *a: None)
     return _fit_epochs(
         state, train_loader_fn, config, step_fn, put, result, info,
@@ -160,7 +167,7 @@ def _fit_epochs(
         for epoch in range(start_epoch, config.num_epochs):
             info("Starting epoch %d / %d", epoch + 1, config.num_epochs)
             epoch_start = time.perf_counter()
-            total_loss, n_batches = 0.0, 0
+            losses, n_batches = [], 0
             for i, (images, targets) in enumerate(train_loader_fn(epoch)):
                 if profile_dir and epoch == start_epoch:
                     if i == 2 and not profiling:
@@ -171,14 +178,15 @@ def _fit_epochs(
                         profiling = False
                         info("profiler trace written to %s", profile_dir)
                 state, parts = step_fn(state, put(images), put(targets))
-                loss = float(parts["total"])
-                total_loss += loss
+                # Keep losses as device scalars — fetching every step would
+                # force a host sync per iteration and serialize dispatch.
+                losses.append(parts["total"])
                 n_batches += 1
                 if (i + 1) % config.log_every == 0:
+                    loss = float(parts["total"])  # one sync per log window
                     info(
-                        "Epoch [%d/%d], Iter [%d] loss: %.4f avg: %.4f",
+                        "Epoch [%d/%d], Iter [%d] loss: %.4f",
                         epoch + 1, config.num_epochs, i + 1, loss,
-                        total_loss / n_batches,
                     )
                     if metric_writer:
                         metric_writer.plot_many(
@@ -192,7 +200,9 @@ def _fit_epochs(
             if profiling:  # loader shorter than the trace window
                 jax.profiler.stop_trace()
                 profiling = False
-            epoch_loss = total_loss / max(n_batches, 1)
+            epoch_loss = (
+                float(np.mean(jax.device_get(losses))) if losses else 0.0
+            )
             result.epoch_losses.append(epoch_loss)
             if metric_writer:
                 metric_writer.plot("train loss", epoch_loss)
@@ -218,12 +228,16 @@ def _fit_epochs(
 
             # --- checkpointing (train.py:204-209) ---
             if checkpointer is not None:
+                extras = {
+                    "best_map": max(result.best_map, test_map),
+                    "last_little_map": result.last_little_map,
+                }
                 if test_map > result.best_map:
                     result.best_map = test_map
                     info("new best test mAP %.5f", test_map)
-                    checkpointer.save(state, epoch=epoch, best=True)
+                    checkpointer.save(state, epoch=epoch, best=True, extras=extras)
                 if config.save_every_epoch:
-                    checkpointer.save(state, epoch=epoch, best=False)
+                    checkpointer.save(state, epoch=epoch, best=False, extras=extras)
             if metric_writer and hasattr(metric_writer, "render_html"):
                 metric_writer.render_html()
     except KeyboardInterrupt:
@@ -232,7 +246,14 @@ def _fit_epochs(
         if profiling:
             jax.profiler.stop_trace()
         if checkpointer is not None:
-            info("interrupted; saving latest checkpoint at epoch %d", epoch)
-            checkpointer.save(state, epoch=max(epoch - 1, 0), best=False)
+            # epoch-1 = last COMPLETED epoch (-1 when interrupted during the
+            # first one, so resume re-runs it instead of skipping it).
+            info("interrupted; saving latest checkpoint (completed epoch %d)",
+                 epoch - 1)
+            checkpointer.save(
+                state, epoch=epoch - 1, best=False,
+                extras={"best_map": result.best_map,
+                        "last_little_map": result.last_little_map},
+            )
         raise
     return state, result

@@ -25,6 +25,17 @@ class MetricWriter:
         self.logger = logger
         self._steps: dict[str, int] = defaultdict(int)
         self.history: dict[str, list[tuple[int, float]]] = defaultdict(list)
+        # Resumed run: reload prior series so auto-increment continues where
+        # it left off instead of rewriting steps 0,1,2... into the same CSV.
+        if os.path.exists(self.path):
+            with open(self.path, newline="") as f:
+                for row in csv.reader(f):
+                    if len(row) != 4 or row[0] == "wallclock":
+                        continue
+                    _, name, step, value = row
+                    step = int(step)
+                    self.history[name].append((step, float(value)))
+                    self._steps[name] = max(self._steps[name], step + 1)
         self._fh = open(self.path, "a", newline="")
         self._csv = csv.writer(self._fh)
         if self._fh.tell() == 0:
