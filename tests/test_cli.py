@@ -64,3 +64,24 @@ def test_cli_train_device_augment(voc_tree, tmp_path):
 def test_cli_usage():
     assert cli.main([]) == 2
     assert cli.main(["bogus"]) == 2
+
+
+def test_cli_predict_json(voc_tree, tmp_path, capsys):
+    import json
+
+    list_file, _ = voc_tree
+    rc = cli.main(
+        ["predict", "--input", list_file, "--backbone", "tiny", "--S", "7",
+         "--image_size", "112", "--eval_batch_size", "8",
+         "--score_threshold", "0.02", "--bf16", "false",
+         "--save_dir", str(tmp_path / "p")]
+    )
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == 8
+    rec = json.loads(lines[0])
+    assert "image" in rec and isinstance(rec["detections"], list)
+
+
+def test_cli_predict_requires_input(capsys):
+    assert cli.main(["predict", "--backbone", "tiny"]) == 2

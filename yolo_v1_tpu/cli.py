@@ -12,6 +12,7 @@ Usage: ``python -m yolo_v1_tpu.cli <command> [--flag value ...]``
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
@@ -238,6 +239,83 @@ def cmd_visualize(argv: list[str]) -> int:
     return 0
 
 
+def cmd_predict(argv: list[str]) -> int:
+    """Batch-serve a directory (or list file) of images: detections as JSON
+    lines on stdout (the programmatic counterpart of `visualize`)."""
+    import glob
+    import json
+
+    import cv2
+
+    from yolo_v1_tpu.eval.predictor import Predictor
+
+    # Separate the one extra flag from the shared config flags.
+    inputs = None
+    rest = []
+    it = iter(argv)
+    for a in it:
+        if a == "--input":
+            inputs = next(it)
+        else:
+            rest.append(a)
+    if inputs is None:
+        print("predict requires --input <dir-or-list-file>")
+        return 2
+    cfg = ExperimentConfig.from_args(rest)
+    save_dir = cfg.resolved_save_dir()
+    logger = create_logger(save_dir, "predict")
+    state = _build_state(cfg, steps_per_epoch=1, logger=logger)
+    manager = ckpt.CheckpointManager(save_dir)
+    if manager.exists(best=True):
+        state, _, _ = manager.restore(state, best=True)
+    elif manager.exists():
+        state, _, _ = manager.restore(state)
+
+    if os.path.isdir(inputs):
+        files = sorted(
+            glob.glob(os.path.join(inputs, "*.jpg"))
+            + glob.glob(os.path.join(inputs, "*.png"))
+        )
+    else:
+        from yolo_v1_tpu.data.voc import read_list_file
+
+        files = read_list_file(inputs)
+    if not files:
+        print(f"no images under {inputs}")
+        return 1
+
+    model = build_model(
+        cfg.backbone, S=cfg.S, B=cfg.B, num_classes=cfg.num_classes,
+        dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
+    )
+    predictor = Predictor(
+        model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        S=cfg.S, B=cfg.B, C=cfg.num_classes,
+        score_threshold=cfg.score_threshold, nms_threshold=cfg.nms_threshold,
+    )
+    bs = cfg.eval_batch_size
+    size = cfg.image_size
+    for start in range(0, len(files), bs):
+        chunk = files[start : start + bs]
+        imgs = []
+        for path in chunk:
+            im = cv2.imread(path)
+            if im is None:
+                raise FileNotFoundError(path)
+            im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+            imgs.append(cv2.resize(im, (size, size)))
+        batch = np.stack(imgs)
+        if len(chunk) < bs:  # single compiled shape
+            batch = np.concatenate(
+                [batch, np.zeros_like(batch[:1]).repeat(bs - len(chunk), 0)]
+            )
+        dets = predictor(batch)[: len(chunk)]
+        for path, d in zip(chunk, dets):
+            print(json.dumps({"image": path, "detections": d}))
+    return 0
+
+
 def cmd_prepare_data(argv: list[str]) -> int:
     """VOCdevkit XML -> labels/*.txt + list files (voc_label.py parity)."""
     import argparse
@@ -258,6 +336,7 @@ COMMANDS = {
     "train": cmd_train,
     "map": cmd_map,
     "visualize": cmd_visualize,
+    "predict": cmd_predict,
     "prepare-data": cmd_prepare_data,
 }
 
