@@ -158,3 +158,27 @@ def test_import_densenet_keys_exist_in_model():
             assert mod in node, (key, mod)
             node = node[mod]
         assert leaf in node, key
+
+
+def test_restore_pre_gates_checkpoint(tmp_path):
+    """Checkpoints written before the mAP gates existed (no extras keys)
+    must still restore, with default gates."""
+    import orbax.checkpoint as ocp
+
+    state = _state()
+    old_payload = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "epoch": 5,
+    }
+    path = str(tmp_path / "ckpt" / "latest")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, old_payload)
+    ckptr.wait_until_finished()
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    restored, epoch, extras = mgr.restore(_state())
+    assert epoch == 5
+    assert extras == {"best_map": 0.0, "last_little_map": 0.0}

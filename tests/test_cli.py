@@ -85,3 +85,19 @@ def test_cli_predict_json(voc_tree, tmp_path, capsys):
 
 def test_cli_predict_requires_input(capsys):
     assert cli.main(["predict", "--backbone", "tiny"]) == 2
+
+
+def test_cli_predict_missing_input_value(capsys):
+    assert cli.main(["predict", "--input"]) == 2
+    assert "requires --input" in capsys.readouterr().out
+
+
+def test_mesh_sizing_uses_gcd(voc_tree, tmp_path):
+    """batch 9 with default eval batch must not pick a mesh that divides
+    only one of them (regression: n=2 divided 32 but not 9)."""
+    import math
+
+    from yolo_v1_tpu.parallel.mesh import largest_divisor_device_count
+
+    need = math.gcd(9, 32)
+    assert largest_divisor_device_count(need, 8) == 1  # no mesh -> no crash

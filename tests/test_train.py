@@ -177,7 +177,7 @@ def test_metric_writer_resumes_step_counters(tmp_path):
     for i in range(3):
         w.plot("train loss", float(i))
     w.close()
-    w2 = MetricWriter(str(tmp_path))  # simulates --resume relaunch
+    w2 = MetricWriter(str(tmp_path), resume=True)  # --resume relaunch
     w2.plot("train loss", 99.0)
     assert w2.history["train loss"][-1] == (3, 99.0)
     w2.close()
@@ -238,3 +238,44 @@ def test_fit_resume_keeps_best_map(tmp_path):
     assert result2.best_map == 0.6
     best_after, e_best, ex = mgr.restore(_tiny_setup()[0], best=True)
     assert int(best_after.step) == int(best_step_before)
+
+
+def test_interrupt_during_eval_keeps_epoch_completed(tmp_path):
+    """Ctrl-C while the evaluator runs must record the epoch as COMPLETED
+    (its batches all ran) so resume doesn't train it twice."""
+    from yolo_v1_tpu.train import checkpoint as ckpt
+
+    state, images, targets = _tiny_setup()
+    mgr = ckpt.CheckpointManager(str(tmp_path / "ck"))
+
+    class InterruptingEval:
+        def little_map(self, s):
+            raise KeyboardInterrupt
+
+        def full_map(self, s):
+            return 0.0
+
+    def loader(epoch):
+        yield images, targets
+
+    with pytest.raises(KeyboardInterrupt):
+        fit(
+            state, loader, YoloV1LossConfig(S=7),
+            config=FitConfig(num_epochs=3),
+            evaluator=InterruptingEval(), checkpointer=mgr,
+        )
+    _, last_completed, _ = mgr.restore(_tiny_setup()[0])
+    assert last_completed == 0  # epoch 0's batches finished before the eval
+
+
+def test_metric_writer_rotates_on_fresh_run(tmp_path):
+    from yolo_v1_tpu.train.metrics import MetricWriter
+
+    w = MetricWriter(str(tmp_path))
+    w.plot("train loss", 1.0)
+    w.close()
+    w2 = MetricWriter(str(tmp_path))  # fresh run, no resume
+    w2.plot("train loss", 2.0)
+    assert w2.history["train loss"] == [(0, 2.0)]
+    w2.close()
+    assert (tmp_path / "metrics.1.csv").exists()

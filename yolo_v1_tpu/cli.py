@@ -72,14 +72,14 @@ def _build_state(cfg: ExperimentConfig, steps_per_epoch: int, logger=None):
                 len(report["copied"]),
                 len(report["skipped_missing"]) + len(report["skipped_shape"]),
             )
-    return state
+    return state, model
 
 
 def cmd_train(argv: list[str]) -> int:
     cfg = ExperimentConfig.from_args(argv)
     save_dir = cfg.resolved_save_dir()
     logger = create_logger(save_dir, "train")
-    writer = MetricWriter(save_dir, logger=logger)
+    writer = MetricWriter(save_dir, logger=logger, resume=cfg.resume)
     pipe_cfg = _pipeline_config(cfg)
 
     if cfg.device_augment:
@@ -99,13 +99,19 @@ def cmd_train(argv: list[str]) -> int:
     logger.info("the dataset has %d images", len(train_ds))
     logger.info("the batch_size is %d", cfg.batch_size)
 
+    import math
+
     from yolo_v1_tpu.parallel.mesh import largest_divisor_device_count
 
     mesh = None
     if len(jax.devices()) > 1:
-        # The data axis must divide both the train and eval batch sizes.
-        n = largest_divisor_device_count(cfg.batch_size)
-        n = largest_divisor_device_count(cfg.eval_batch_size, n)
+        # The data axis must divide every batch size it will shard — the
+        # train batch always, the eval batch only when eval runs — so size
+        # the mesh from their gcd (a divisor of one alone is not enough).
+        need = cfg.batch_size
+        if cfg.test_list:
+            need = math.gcd(need, cfg.eval_batch_size)
+        n = largest_divisor_device_count(need)
         if n > 1:
             mesh = make_mesh(n)
             if n < len(jax.devices()):
@@ -130,7 +136,7 @@ def cmd_train(argv: list[str]) -> int:
             logger=logger,
         )
 
-    state = _build_state(cfg, steps_per_epoch=max(len(loader), 1), logger=logger)
+    state, _ = _build_state(cfg, steps_per_epoch=max(len(loader), 1), logger=logger)
     manager = ckpt.CheckpointManager(save_dir)
     start_epoch = 0
     gates = {"best_map": 0.0, "last_little_map": 0.0}
@@ -173,7 +179,7 @@ def cmd_map(argv: list[str]) -> int:
     logger = create_logger(save_dir, "map")
     pipe_cfg = _pipeline_config(cfg)
     test_ds = YoloDataset(cfg.test_list, train=False, config=pipe_cfg)
-    state = _build_state(cfg, steps_per_epoch=1, logger=logger)
+    state, _ = _build_state(cfg, steps_per_epoch=1, logger=logger)
     manager = ckpt.CheckpointManager(save_dir)
     if manager.exists(best=True):
         state, _, _ = manager.restore(state, best=True)
@@ -207,7 +213,7 @@ def cmd_visualize(argv: list[str]) -> int:
     logger = create_logger(save_dir, "visualize")
     pipe_cfg = _pipeline_config(cfg)
     test_ds = YoloDataset(cfg.test_list, train=False, config=pipe_cfg)
-    state = _build_state(cfg, steps_per_epoch=1, logger=logger)
+    state, _ = _build_state(cfg, steps_per_epoch=1, logger=logger)
     manager = ckpt.CheckpointManager(save_dir)
     if manager.exists(best=True):
         state, _, _ = manager.restore(state, best=True)
@@ -255,7 +261,7 @@ def cmd_predict(argv: list[str]) -> int:
     it = iter(argv)
     for a in it:
         if a == "--input":
-            inputs = next(it)
+            inputs = next(it, None)
         else:
             rest.append(a)
     if inputs is None:
@@ -264,12 +270,17 @@ def cmd_predict(argv: list[str]) -> int:
     cfg = ExperimentConfig.from_args(rest)
     save_dir = cfg.resolved_save_dir()
     logger = create_logger(save_dir, "predict")
-    state = _build_state(cfg, steps_per_epoch=1, logger=logger)
+    state, model = _build_state(cfg, steps_per_epoch=1, logger=logger)
     manager = ckpt.CheckpointManager(save_dir)
     if manager.exists(best=True):
         state, _, _ = manager.restore(state, best=True)
     elif manager.exists():
         state, _, _ = manager.restore(state)
+    else:
+        logger.warning(
+            "no checkpoint in %s; predicting with fresh random weights",
+            save_dir,
+        )
 
     if os.path.isdir(inputs):
         files = sorted(
@@ -284,10 +295,6 @@ def cmd_predict(argv: list[str]) -> int:
         print(f"no images under {inputs}")
         return 1
 
-    model = build_model(
-        cfg.backbone, S=cfg.S, B=cfg.B, num_classes=cfg.num_classes,
-        dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
-    )
     predictor = Predictor(
         model,
         {"params": state.params, "batch_stats": state.batch_stats},

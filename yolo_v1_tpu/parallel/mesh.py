@@ -70,7 +70,8 @@ def largest_divisor_device_count(
 
     Sharding a [B, ...] batch over a 'data' axis requires the axis size to
     divide B; callers pick the mesh size with this instead of crashing on
-    e.g. batch 12 over 8 chips (-> 4 devices used, with a warning upstream).
+    e.g. batch 12 over 8 chips (-> 6 devices used, with a warning upstream).
+    To satisfy several batch sizes at once, pass their gcd.
     """
     if n_devices is None:
         n_devices = len(jax.devices())

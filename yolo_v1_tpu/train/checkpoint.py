@@ -79,7 +79,15 @@ class CheckpointManager:
         template["epoch"] = 0
         template.update(self._EXTRA_DEFAULTS)
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
-        restored = self._ckptr.restore(self.path(best), abstract)
+        try:
+            restored = self._ckptr.restore(self.path(best), abstract)
+        except ValueError:
+            # Checkpoints written before the mAP gates were added lack the
+            # extras keys and orbax refuses a mismatched template; retry
+            # without them (the .get defaults below fill them in).
+            for k in self._EXTRA_DEFAULTS:
+                abstract.pop(k)
+            restored = self._ckptr.restore(self.path(best), abstract)
         new_state = state.replace(
             step=restored["step"],
             params=restored["params"],

@@ -163,6 +163,7 @@ def _fit_epochs(
 ):
     profiling = False
     epoch = start_epoch
+    completed_epoch = start_epoch - 1  # last epoch whose BATCHES all ran
     try:
         for epoch in range(start_epoch, config.num_epochs):
             info("Starting epoch %d / %d", epoch + 1, config.num_epochs)
@@ -200,6 +201,7 @@ def _fit_epochs(
             if profiling:  # loader shorter than the trace window
                 jax.profiler.stop_trace()
                 profiling = False
+            completed_epoch = epoch  # training done; eval/ckpt may follow
             epoch_loss = (
                 float(np.mean(jax.device_get(losses))) if losses else 0.0
             )
@@ -246,12 +248,14 @@ def _fit_epochs(
         if profiling:
             jax.profiler.stop_trace()
         if checkpointer is not None:
-            # epoch-1 = last COMPLETED epoch (-1 when interrupted during the
-            # first one, so resume re-runs it instead of skipping it).
+            # completed_epoch = last epoch whose batches all ran (an
+            # interrupt during eval/checkpointing must not mark that epoch
+            # as unfinished — resume would train its data twice and skew
+            # the step-keyed LR schedule).
             info("interrupted; saving latest checkpoint (completed epoch %d)",
-                 epoch - 1)
+                 completed_epoch)
             checkpointer.save(
-                state, epoch=epoch - 1, best=False,
+                state, epoch=completed_epoch, best=False,
                 extras={"best_map": result.best_map,
                         "last_little_map": result.last_little_map},
             )

@@ -19,15 +19,29 @@ from collections import defaultdict
 
 
 class MetricWriter:
-    def __init__(self, base_path: str, filename: str = "metrics.csv", logger=None):
+    def __init__(
+        self,
+        base_path: str,
+        filename: str = "metrics.csv",
+        logger=None,
+        resume: bool = False,
+    ):
         os.makedirs(base_path, exist_ok=True)
         self.path = os.path.join(base_path, filename)
         self.logger = logger
         self._steps: dict[str, int] = defaultdict(int)
         self.history: dict[str, list[tuple[int, float]]] = defaultdict(list)
+        if not resume and os.path.exists(self.path):
+            # Fresh run into a reused save_dir: rotate the old CSV aside so
+            # the two runs' series don't interleave.
+            base, ext = os.path.splitext(self.path)
+            n = 1
+            while os.path.exists(f"{base}.{n}{ext}"):
+                n += 1
+            os.rename(self.path, f"{base}.{n}{ext}")
         # Resumed run: reload prior series so auto-increment continues where
         # it left off instead of rewriting steps 0,1,2... into the same CSV.
-        if os.path.exists(self.path):
+        if resume and os.path.exists(self.path):
             with open(self.path, newline="") as f:
                 for row in csv.reader(f):
                     if len(row) != 4 or row[0] == "wallclock":
