@@ -82,3 +82,41 @@ def test_extended_zoo_shapes(name, S):
     x = jnp.zeros((1, 448, 448, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     assert model.apply(variables, x, train=False).shape == (1, S, S, 30)
+
+
+def test_remat_matches_standard_forward_and_grads():
+    """jax.checkpoint'd blocks must be numerically identical in forward AND
+    backward (only memory/time trade-offs differ)."""
+    from yolo_v1_tpu.models import resnet as R
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, (1, 112, 112, 3)), jnp.float32
+    )
+    plain = R._ctor([1, 1, 1, 1], bottleneck=True)(S=14, dtype=jnp.float32)
+    remat = R._ctor([1, 1, 1, 1], bottleneck=True)(
+        S=14, dtype=jnp.float32, remat=True
+    )
+    v = plain.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = remat.init(jax.random.PRNGKey(0), x, train=False)
+    # Same init (remat doesn't change params)
+    for a, b in zip(jax.tree.leaves(v["params"]), jax.tree.leaves(v2["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out1 = plain.apply(v, x, train=False)
+    out2 = remat.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+    def loss(params, model):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return jnp.sum(out**2)
+
+    g1 = jax.grad(lambda p: loss(p, plain))(v["params"])
+    g2 = jax.grad(lambda p: loss(p, remat))(v["params"])
+    # remat recomputes the forward in the backward pass; float reduction
+    # order differs slightly, so allow recompute-level noise.
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )

@@ -41,8 +41,13 @@ def build_model(
     B: int = 2,
     num_classes: int = 20,
     dtype=jnp.bfloat16,
+    **kwargs,
 ):
-    """Construct a detector module by name."""
+    """Construct a detector module by name.
+
+    Extra kwargs (e.g. ``remat=True`` for activation rematerialization on
+    the ResNet family) pass through to the constructor.
+    """
     if name not in _REGISTRY:
         raise KeyError(f"unknown model {name!r}; available: {available_models()}")
-    return _REGISTRY[name](S=S, B=B, num_classes=num_classes, dtype=dtype)
+    return _REGISTRY[name](S=S, B=B, num_classes=num_classes, dtype=dtype, **kwargs)

@@ -103,12 +103,18 @@ class ResNet(nn.Module):
     groups: int = 1
     width_per_group: int = 64
     dtype: Dtype = jnp.bfloat16
+    # Rematerialize each residual block's activations in the backward pass
+    # (jax.checkpoint): ~30% less activation HBM for ~1 extra forward of
+    # FLOPs — lets batch sizes grow past the memory knee on big inputs.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         # Reference width schedule (OriginResNet.py:117).
         planes = [self.width_per_group * self.groups * (2**i) for i in range(5)]
         block_cls = Bottleneck if self.bottleneck else BasicBlock
+        if self.remat:
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         x = x.astype(self.dtype)
         x = conv(planes[0], 7, 2, dtype=self.dtype, name="conv1")(x)
         x = batch_norm(train, name="bn1", dtype=self.dtype)(x)
@@ -141,7 +147,10 @@ class ResNet(nn.Module):
 
 
 def _ctor(stage_sizes, bottleneck, groups=1, width_per_group=64):
-    def build(S: int = 7, B: int = 2, num_classes: int = 20, dtype=jnp.bfloat16):
+    def build(
+        S: int = 7, B: int = 2, num_classes: int = 20, dtype=jnp.bfloat16,
+        remat: bool = False,
+    ):
         assert S in (7, 14), "S must be 7 or 14 (OriginResNet.py:225-227)"
         return ResNet(
             stage_sizes=tuple(stage_sizes),
@@ -152,6 +161,7 @@ def _ctor(stage_sizes, bottleneck, groups=1, width_per_group=64):
             groups=groups,
             width_per_group=width_per_group,
             dtype=dtype,
+            remat=remat,
         )
 
     return build
