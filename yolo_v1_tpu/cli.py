@@ -43,8 +43,10 @@ def _pipeline_config(cfg: ExperimentConfig) -> PipelineConfig:
 
 def _build_state(cfg: ExperimentConfig, steps_per_epoch: int, logger=None):
     dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    kwargs = {"remat": True} if (cfg.remat and "resnet" in cfg.backbone) else {}
     model = build_model(
-        cfg.backbone, S=cfg.S, B=cfg.B, num_classes=cfg.num_classes, dtype=dtype
+        cfg.backbone, S=cfg.S, B=cfg.B, num_classes=cfg.num_classes,
+        dtype=dtype, **kwargs,
     )
     schedule = make_lr_schedule(
         steps_per_epoch, cfg.warmup_increment, cfg.warmup_iters, cfg.lr_adjust_map
@@ -132,6 +134,7 @@ def cmd_train(argv: list[str]) -> int:
             batch_size=cfg.eval_batch_size,
             score_threshold=cfg.score_threshold,
             nms_threshold=cfg.nms_threshold,
+            nms_impl=cfg.nms_impl,
             mesh=mesh,
             logger=logger,
         )
@@ -151,6 +154,7 @@ def cmd_train(argv: list[str]) -> int:
     loss_cfg = YoloV1LossConfig(
         S=cfg.S, B=cfg.B, C=cfg.num_classes,
         lambda_coord=cfg.lambda_coord, lambda_noobj=cfg.lambda_noobj,
+        assignment_impl=cfg.assignment_impl,
     )
     fit(
         state,
@@ -193,6 +197,7 @@ def cmd_map(argv: list[str]) -> int:
         batch_size=cfg.eval_batch_size,
         score_threshold=cfg.score_threshold,
         nms_threshold=cfg.nms_threshold,
+        nms_impl=cfg.nms_impl,
         logger=logger,
     )
     mAP = evaluator.full_map(state)

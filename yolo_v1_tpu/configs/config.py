@@ -20,6 +20,11 @@ class ExperimentConfig:
     # loss (train.py:43-44)
     lambda_coord: float = 5.0
     lambda_noobj: float = 0.5
+    # kernel/impl selectors: 'xla' or 'pallas' for the loss assignment and
+    # the eval NMS; remat = jax.checkpoint on ResNet blocks (memory saver)
+    assignment_impl: str = "xla"
+    nms_impl: str = "xla"
+    remat: bool = False
 
     # optimization (train.py:37-39, 83-89; batch 16 for resnet train.py:68)
     optimizer: str = "sgd"

@@ -119,6 +119,7 @@ class VocEvaluator:
         class_names: Sequence[str] = VOC_CLASSES,
         score_threshold: float = 0.005,
         nms_threshold: float = 0.45,
+        nms_impl: str = "xla",
         match_iou: float = 0.5,
         eval_image_size: int = 448,
         mesh=None,
@@ -142,7 +143,7 @@ class VocEvaluator:
         self.detector = make_detector(
             S=cfg.S, B=cfg.B, C=cfg.C,
             score_threshold=score_threshold, nms_threshold=nms_threshold,
-            mesh=mesh,
+            nms_impl=nms_impl, mesh=mesh,
         )
         # Predictions are scaled into the GT's pixel frame — always 448 in
         # the reference regardless of network input (utils/utils.py:356-387
