@@ -131,3 +131,16 @@ def test_evaluator_on_mesh_matches_single_device(eval_setup):
     m1 = e1.full_map(state)
     m8 = e8.full_map(state)
     assert m1 == pytest.approx(m8, abs=1e-6)
+
+
+def test_evaluator_07_metric_option(eval_setup):
+    ds, target, gt = eval_setup
+    model = build_model("tiny", S=7)
+    v = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 112, 112, 3)), train=False)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), apply_fn=model.apply,
+        params=v["params"], batch_stats=v["batch_stats"], tx=None, opt_state=None,
+    )
+    e = VocEvaluator(ds, gt_full=target, batch_size=8, use_07_metric=True)
+    m = e.full_map(state)
+    assert 0.0 <= m <= 1.0

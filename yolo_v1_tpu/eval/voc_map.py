@@ -121,6 +121,7 @@ class VocEvaluator:
         nms_threshold: float = 0.45,
         nms_impl: str = "xla",
         match_iou: float = 0.5,
+        use_07_metric: bool = False,  # reference default: continuous AP
         eval_image_size: int = 448,
         mesh=None,
         logger=None,
@@ -132,6 +133,7 @@ class VocEvaluator:
         self.batch_size = batch_size
         self.class_names = class_names
         self.match_iou = match_iou
+        self.use_07_metric = use_07_metric
         self.logger = logger
         cfg = dataset.config
         from concurrent.futures import ThreadPoolExecutor
@@ -189,7 +191,8 @@ class VocEvaluator:
             )
         mAP, _ = voc_eval(
             preds, gt, self.class_names,
-            iou_threshold=self.match_iou, logger=self.logger,
+            iou_threshold=self.match_iou, use_07_metric=self.use_07_metric,
+            logger=self.logger,
         )
         return mAP
 
