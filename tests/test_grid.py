@@ -209,3 +209,31 @@ def test_make_eval_tensor_fixture():
 
     total, parts = yolo_v1_loss(pred, target)
     assert np.isfinite(float(total))
+
+
+def test_encoder_cell_boundary_semantics():
+    """Exact-boundary centers follow ceil-1 (YOLODataLoader.py:219); an
+    exactly-zero coordinate clamps to cell 0 (the reference would wrap to
+    the LAST cell via torch negative indexing — documented divergence)."""
+    S = 7
+    cases = [
+        # cx = 1/S exactly -> ceil(1)-1 = 0 (first cell's right edge)
+        ([1.0 / S, 0.5, 0.2, 0.2], (3, 0)),
+        # cx just past 1/S -> cell 1
+        ([1.0 / S + 1e-4, 0.5, 0.2, 0.2], (3, 1)),
+        # zero center -> clamped to cell 0 (not wrapped)
+        ([0.0, 0.5, 0.2, 0.2], (3, 0)),
+        # center exactly 1.0 -> ceil(7)-1 = 6 (last cell)
+        ([1.0, 0.5, 0.2, 0.2], (3, 6)),
+    ]
+    for box, (row, col) in cases:
+        t = np.asarray(
+            encode_targets(
+                jnp.asarray([[box]], jnp.float32),
+                jnp.asarray([[5]], jnp.int32),
+                jnp.asarray([1]),
+                S=S,
+            )[0]
+        )
+        objs = np.argwhere(t[..., 0] == 1.0)
+        assert objs.tolist() == [[row, col]], (box, objs)
