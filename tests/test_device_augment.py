@@ -136,3 +136,33 @@ def test_device_loader_integration(voc_tree):
     step = jit_train_step(YoloV1LossConfig(S=7))
     state, parts = step(state, images, targets)
     assert np.isfinite(float(parts["total"]))
+
+
+def test_gaussian_blur_reduces_noise_variance(rng):
+    from yolo_v1_tpu.data.device_augment import _gaussian_blur
+
+    noisy = jnp.asarray(rng.uniform(0, 1, (64, 64, 3)).astype(np.float32))
+    blurred = _gaussian_blur(noisy, jnp.float32(2.5))
+    assert blurred.shape == noisy.shape
+    assert float(jnp.var(blurred)) < 0.25 * float(jnp.var(noisy))
+    # Mean preserved away from borders (normalized kernel)
+    np.testing.assert_allclose(
+        float(jnp.mean(blurred[8:-8, 8:-8])),
+        float(jnp.mean(noisy[8:-8, 8:-8])),
+        atol=0.02,
+    )
+
+
+def test_blur_sharpen_ops_active_and_deterministic(rng):
+    images, boxes, labels, counts = make_batch(rng, n=2)
+    cfg = dataclasses.replace(NOOP, pixel_prob=1.0)
+    a = augment_and_encode_batch(
+        jax.random.PRNGKey(11), images, boxes, labels, counts, S=7, cfg=cfg
+    )
+    b = augment_and_encode_batch(
+        jax.random.PRNGKey(11), images, boxes, labels, counts, S=7, cfg=cfg
+    )
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    # Pixel ops never move boxes.
+    want = np.asarray(encode_targets(boxes, labels, counts, S=7))
+    np.testing.assert_allclose(np.asarray(a[1]), want, atol=1e-4)

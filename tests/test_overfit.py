@@ -50,5 +50,6 @@ def test_tiny_overfit_reaches_high_map(voc_tree):
     )
     mAP = evaluator.full_map(state)
     # Synthetic solid rectangles, training set == eval set: the stack must
-    # reach a solid fit. (Untrained nets score ~0 — see test_eval.)
-    assert mAP > 0.25, mAP
+    # reach a solid fit — measured plateau is 0.45 over all 20 classes
+    # (≈0.8+ per present class). (Untrained nets score ~0 — see test_eval.)
+    assert mAP > 0.35, mAP

@@ -16,10 +16,10 @@ Families reproduced (probabilities mirror AugmentConfig / the imgaug policy):
   axis-aligned-hull box transform and out-of-image removal (:69-76, :172);
 * 25%-gated pixel ops: additive gaussian noise, elementwise add, global and
   elementwise multiply, dropout, salt&pepper replace, HSV saturation/value
-  shift (:34-64).  JPEG-compression artifacts and the blur/sharpen pair are
-  host-only (bitstream codecs don't belong on a TPU; separable blurs could
-  be added as convs later) — the host pipeline (data/augment.py) keeps the
-  full family.
+  shift, gaussian blur (separable depthwise conv) and sharpen
+  (unsharp-mask) (:34-64).  Only JPEG-compression artifacts stay host-only
+  (bitstream codecs don't belong on a TPU) — the host pipeline
+  (data/augment.py) keeps the full family.
 
 Everything is fixed-shape and key-driven: sample k of batch n at epoch e is
 reproducible from fold_in(key, e*N+n).
@@ -149,13 +149,34 @@ def _transform_boxes_affine(xyxy: Array, rs: Array, offset: Array) -> Array:
     return jnp.concatenate([warped.min(axis=1), warped.max(axis=1)], axis=-1)
 
 
+def _gaussian_blur(img: Array, sigma: Array, radius: int = 5) -> Array:
+    """Separable gaussian blur via two depthwise 1-D convs (HWC image).
+
+    ``sigma`` may be traced (the kernel is built from a fixed taps grid).
+    """
+    taps = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (taps / jnp.maximum(sigma, 1e-3)) ** 2)
+    k = k / jnp.sum(k)
+    x = img.transpose(2, 0, 1)[:, None]  # [3, 1, H, W]
+    kh = k.reshape(1, 1, 1, 2 * radius + 1)
+    kv = k.reshape(1, 1, 2 * radius + 1, 1)
+    dn = ("NCHW", "OIHW", "NCHW")
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), [(0, 0), (radius, radius)], dimension_numbers=dn
+    )
+    x = jax.lax.conv_general_dilated(
+        x, kv, (1, 1), [(radius, radius), (0, 0)], dimension_numbers=dn
+    )
+    return x[:, 0].transpose(1, 2, 0)
+
+
 def _pixel_ops(key: Array, img: Array, cfg: DeviceAugmentConfig) -> Array:
     """Gated pixel family on a [H,W,3] float image in [0,1]."""
-    keys = jax.random.split(key, 13)
+    keys = jax.random.split(key, 16)
     gate = jax.random.uniform(keys[0]) < cfg.pixel_prob
     # Independently coin-flip each op inside the gate (the reference draws
     # SomeOf(1..3) of 10; expected ~2 active — we use p=0.2 per op).
-    act = jax.random.uniform(keys[1], (7,)) < 0.2
+    act = jax.random.uniform(keys[1], (9,)) < 0.2
 
     out = img
     # additive gaussian noise
@@ -200,6 +221,14 @@ def _pixel_ops(key: Array, img: Array, cfg: DeviceAugmentConfig) -> Array:
     hsv_v = hsv.at[..., 2].add(delta)
     shifted = hsv_to_rgb(jnp.clip(jnp.where(which, hsv_s, hsv_v), 0.0, 1.0))
     out = jnp.where(gate & act[6], shifted, out)
+    # gaussian blur (imgaug GaussianBlur sigma 2-3.5, :40)
+    sigma = jax.random.uniform(keys[13], minval=2.0, maxval=3.5)
+    blurred = _gaussian_blur(jnp.clip(out, 0.0, 1.0), sigma)
+    out = jnp.where(gate & act[7], blurred, out)
+    # sharpen (imgaug Sharpen alpha .1-.8, :37) as unsharp mask
+    alpha = jax.random.uniform(keys[14], minval=0.1, maxval=0.8)
+    soft = _gaussian_blur(jnp.clip(out, 0.0, 1.0), jnp.float32(1.0), radius=2)
+    out = jnp.where(gate & act[8], out + alpha * (out - soft), out)
     return jnp.clip(out, 0.0, 1.0)
 
 
