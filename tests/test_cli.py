@@ -101,3 +101,12 @@ def test_mesh_sizing_uses_gcd(voc_tree, tmp_path):
 
     need = math.gcd(9, 32)
     assert largest_divisor_device_count(need, 8) == 1  # no mesh -> no crash
+
+
+def test_config_rejects_bad_impl():
+    import pytest
+
+    with pytest.raises(ValueError):
+        ExperimentConfig(nms_impl="palas")
+    with pytest.raises(ValueError):
+        ExperimentConfig(assignment_impl="Pallas")

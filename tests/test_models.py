@@ -120,3 +120,12 @@ def test_remat_matches_standard_forward_and_grads():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
         )
+
+
+def test_densenet_remat_and_tiny_rejects():
+    m = build_model("densenet121", S=14, dtype=jnp.float32, remat=True)
+    x = jnp.zeros((1, 448, 448, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    assert m.apply(v, x, train=False).shape == (1, 14, 14, 30)
+    with pytest.raises(ValueError):
+        build_model("tiny", S=7, remat=True)

@@ -43,7 +43,9 @@ def _pipeline_config(cfg: ExperimentConfig) -> PipelineConfig:
 
 def _build_state(cfg: ExperimentConfig, steps_per_epoch: int, logger=None):
     dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
-    kwargs = {"remat": True} if (cfg.remat and "resnet" in cfg.backbone) else {}
+    # Pass remat to any backbone; unsupported ones raise (never a silent
+    # no-op that would later OOM without explanation).
+    kwargs = {"remat": True} if cfg.remat else {}
     model = build_model(
         cfg.backbone, S=cfg.S, B=cfg.B, num_classes=cfg.num_classes,
         dtype=dtype, **kwargs,
@@ -228,6 +230,7 @@ def cmd_visualize(argv: list[str]) -> int:
         cfg.S, cfg.B, cfg.num_classes,
         score_threshold=0.1,  # eval.py:94 uses thresh .1 for visualization
         nms_threshold=cfg.nms_threshold,
+        nms_impl=cfg.nms_impl,
     )
     n = min(32, len(test_ds))
     bs = min(cfg.eval_batch_size, n)
@@ -305,6 +308,7 @@ def cmd_predict(argv: list[str]) -> int:
         {"params": state.params, "batch_stats": state.batch_stats},
         S=cfg.S, B=cfg.B, C=cfg.num_classes,
         score_threshold=cfg.score_threshold, nms_threshold=cfg.nms_threshold,
+        nms_impl=cfg.nms_impl,
     )
     bs = cfg.eval_batch_size
     size = cfg.image_size

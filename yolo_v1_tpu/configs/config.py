@@ -61,6 +61,14 @@ class ExperimentConfig:
     pretrained_torch: str = ""  # optional .pth to import (train.py:61-78)
     resume: bool = False
 
+    def __post_init__(self):
+        for field_name in ("assignment_impl", "nms_impl"):
+            v = getattr(self, field_name)
+            if v not in ("xla", "pallas"):
+                raise ValueError(
+                    f"{field_name} must be 'xla' or 'pallas', got {v!r}"
+                )
+
     def resolved_save_dir(self) -> str:
         if self.save_dir:
             return self.save_dir

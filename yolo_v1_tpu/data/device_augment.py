@@ -149,30 +149,37 @@ def _transform_boxes_affine(xyxy: Array, rs: Array, offset: Array) -> Array:
     return jnp.concatenate([warped.min(axis=1), warped.max(axis=1)], axis=-1)
 
 
-def _gaussian_blur(img: Array, sigma: Array, radius: int = 5) -> Array:
+def _gaussian_blur(img: Array, sigma: Array, radius: int = 11) -> Array:
     """Separable gaussian blur via two depthwise 1-D convs (HWC image).
 
-    ``sigma`` may be traced (the kernel is built from a fixed taps grid).
+    ``sigma`` may be traced (the kernel is built from a fixed taps grid);
+    ``radius`` must cover ~3 sigma of the largest sigma used (default 11
+    covers the imgaug policy's sigma 3.5).  Borders use reflect padding —
+    zero padding would renormalize mass off-image and darken a
+    radius-wide frame on every blurred sample.
     """
     taps = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     k = jnp.exp(-0.5 * (taps / jnp.maximum(sigma, 1e-3)) ** 2)
     k = k / jnp.sum(k)
-    x = img.transpose(2, 0, 1)[:, None]  # [3, 1, H, W]
+    padded = jnp.pad(
+        img, ((radius, radius), (radius, radius), (0, 0)), mode="reflect"
+    )
+    x = padded.transpose(2, 0, 1)[:, None]  # [3, 1, H+2r, W+2r]
     kh = k.reshape(1, 1, 1, 2 * radius + 1)
     kv = k.reshape(1, 1, 2 * radius + 1, 1)
     dn = ("NCHW", "OIHW", "NCHW")
     x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), [(0, 0), (radius, radius)], dimension_numbers=dn
+        x, kh, (1, 1), [(0, 0), (0, 0)], dimension_numbers=dn
     )
     x = jax.lax.conv_general_dilated(
-        x, kv, (1, 1), [(radius, radius), (0, 0)], dimension_numbers=dn
+        x, kv, (1, 1), [(0, 0), (0, 0)], dimension_numbers=dn
     )
     return x[:, 0].transpose(1, 2, 0)
 
 
 def _pixel_ops(key: Array, img: Array, cfg: DeviceAugmentConfig) -> Array:
     """Gated pixel family on a [H,W,3] float image in [0,1]."""
-    keys = jax.random.split(key, 16)
+    keys = jax.random.split(key, 15)
     gate = jax.random.uniform(keys[0]) < cfg.pixel_prob
     # Independently coin-flip each op inside the gate (the reference draws
     # SomeOf(1..3) of 10; expected ~2 active — we use p=0.2 per op).
@@ -227,7 +234,7 @@ def _pixel_ops(key: Array, img: Array, cfg: DeviceAugmentConfig) -> Array:
     out = jnp.where(gate & act[7], blurred, out)
     # sharpen (imgaug Sharpen alpha .1-.8, :37) as unsharp mask
     alpha = jax.random.uniform(keys[14], minval=0.1, maxval=0.8)
-    soft = _gaussian_blur(jnp.clip(out, 0.0, 1.0), jnp.float32(1.0), radius=2)
+    soft = _gaussian_blur(jnp.clip(out, 0.0, 1.0), jnp.float32(1.0), radius=3)
     out = jnp.where(gate & act[8], out + alpha * (out - soft), out)
     return jnp.clip(out, 0.0, 1.0)
 

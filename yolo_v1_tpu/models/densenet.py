@@ -71,9 +71,14 @@ class DenseNet(nn.Module):
     B: int = 2
     num_classes: int = 20
     dtype: Dtype = jnp.bfloat16
+    # jax.checkpoint each dense layer in the backward pass (memory saver).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        layer_cls = (
+            nn.remat(DenseLayer, static_argnums=(2,)) if self.remat else DenseLayer
+        )
         x = x.astype(self.dtype)
         x = conv(self.num_init_features, 7, 2, dtype=self.dtype, name="conv0")(x)
         x = batch_norm(train, name="norm0", dtype=self.dtype)(x)
@@ -83,7 +88,7 @@ class DenseNet(nn.Module):
         num_features = self.num_init_features
         for i, num_layers in enumerate(self.block_config):
             for j in range(num_layers):
-                x = DenseLayer(
+                x = layer_cls(
                     self.growth_rate,
                     self.bn_size,
                     dtype=self.dtype,
@@ -103,7 +108,10 @@ class DenseNet(nn.Module):
 
 
 def _ctor(block_config_s14, growth_rate=32, num_init_features=64):
-    def build(S: int = 7, B: int = 2, num_classes: int = 20, dtype=jnp.bfloat16):
+    def build(
+        S: int = 7, B: int = 2, num_classes: int = 20, dtype=jnp.bfloat16,
+        remat: bool = False,
+    ):
         assert S in (7, 14), "S must be 7 or 14 (OriginDenseNet.py:155-157)"
         cfg = tuple(block_config_s14)
         if S == 7:
@@ -117,6 +125,7 @@ def _ctor(block_config_s14, growth_rate=32, num_init_features=64):
             B=B,
             num_classes=num_classes,
             dtype=dtype,
+            remat=remat,
         )
 
     return build

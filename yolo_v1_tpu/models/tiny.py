@@ -39,5 +39,10 @@ class TinyNet(nn.Module):
         )(x, train)
 
 
-def tiny(S: int = 7, B: int = 2, num_classes: int = 20, dtype=jnp.float32):
+def tiny(
+    S: int = 7, B: int = 2, num_classes: int = 20, dtype=jnp.float32,
+    remat: bool = False,
+):
+    if remat:
+        raise ValueError("TinyNet is too small for remat to be meaningful")
     return TinyNet(S=S, B=B, num_classes=num_classes, dtype=dtype)
