@@ -6,7 +6,7 @@ candidates are processed in descending score order; a candidate is kept iff
 it is valid and not suppressed by an earlier kept candidate with IoU above
 the threshold.
 
-Kernel layout (one grid program per image):
+Kernel layout (one grid program per CHUNK of images):
 
 * candidates are pre-sorted by score on the XLA side (argsort is cheap and
   XLA's sort is excellent; re-implementing it in-kernel buys nothing);
@@ -20,14 +20,17 @@ Kernel layout (one grid program per image):
 On non-TPU backends pass ``interpret=True`` (tests do) to run the same
 kernel through the Pallas interpreter.
 
-Measured honestly (v5e, decode+NMS, S=14/K=392, batch 64): the XLA path
-runs 1.65 ms/batch vs 4.90 ms for this kernel — ``vmap`` batches the
-sequential scan ACROSS images while the kernel grid runs one image per
-program, serializing the batch.  The XLA path is therefore the default
-(``nms_impl='xla'``); this kernel stays as the verified-correct basis for
-a future fused decode+NMS where keeping candidates in VMEM end-to-end can
-pay for the serialization.  Either way NMS is ~1% of end-to-end serving
-time (the 448px forward is ~45 ms/batch).
+The kernel is BATCH-PARALLEL: each grid program owns a CHUNK of images
+(sized so the chunk's [CH, K, K] suppression scratch fits VMEM) and every
+step of the sequential greedy scan updates all CH images at once — the
+same across-batch vectorization ``vmap`` gives the XLA path, but with the
+scan state and suppression matrix pinned in VMEM.
+
+Measured on v5e (decode+NMS, S=14/K=392, batch 64): 1.34 ms/batch vs the
+XLA path's 1.65 ms (a first one-image-per-program version measured 4.90 ms
+— grid programs serialize on the single tensor core, so chunk-level batch
+parallelism is what makes the kernel win).  NMS is ~1% of end-to-end
+serving either way; select with ``nms_impl='pallas'``.
 """
 
 from __future__ import annotations
@@ -44,56 +47,63 @@ from jax.experimental.pallas import tpu as pltpu
 def _nms_kernel(
     boxes_ref, valid_ref, keep_ref, supp_ref, mat_ref, *, iou_threshold: float
 ):
-    """One image: boxes [1,K,4] sorted by descending score, valid [1,1,K].
+    """One chunk of CH images: boxes [CH,K,4] (each image sorted by
+    descending score), valid [CH,K] -> keep/supp [CH,K].
 
-    Dynamic per-row indexing inside the sequential scan must go through a
-    Ref (TPU lowering has no value-level dynamic_slice), so the suppression
-    matrix is staged into the ``mat_ref`` VMEM scratch first.
+    Dynamic per-step indexing inside the sequential scan must go through a
+    Ref (TPU lowering has no value-level dynamic_slice), so the [CH,K,K]
+    suppression tensor is staged into the ``mat_ref`` VMEM scratch first;
+    per-candidate scalar reads use one-hot lane reductions (Mosaic cannot
+    dynamically index the lane dimension).
     """
-    K = boxes_ref.shape[1]
-    boxes = boxes_ref[0]  # [K, 4]
-    x1 = boxes[:, 0:1]  # [K, 1]
-    y1 = boxes[:, 1:2]
-    x2 = boxes[:, 2:3]
-    y2 = boxes[:, 3:4]
-
-    # Pairwise intersection via outer max/min — all 2-D, VPU-friendly.
-    iw = jnp.maximum(jnp.minimum(x2, x2.T) - jnp.maximum(x1, x1.T), 0.0)
-    ih = jnp.maximum(jnp.minimum(y2, y2.T) - jnp.maximum(y1, y1.T), 0.0)
-    inter = iw * ih  # [K, K]
-    area = (x2 - x1) * (y2 - y1)  # [K, 1]
-    union = area + area.T - inter
-    iou = jnp.where(union > 0, inter / jnp.where(union > 0, union, 1.0), 0.0)
-
+    CH, K = boxes_ref.shape[0], boxes_ref.shape[1]
     row = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
-    # mat[i, j] = 1: kept candidate i knocks out later candidate j.
-    mat_ref[:] = jnp.where((iou > iou_threshold) & (col > row), 1.0, 0.0)
 
-    valid_row = valid_ref[0]  # [1, K]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    # Build the suppression matrix one image at a time so the only [*,K,K]
+    # buffer alive is the scratch itself ([CH,K,K] VALUE temporaries would
+    # blow the ~16MB VMEM budget at K=392); each [K,K] build is already
+    # fully vector-parallel on the VPU.
+    def build(n, _):
+        boxes = boxes_ref[pl.ds(n, 1), :, :].reshape(K, 4)
+        x1 = boxes[:, 0:1]  # [K, 1]
+        y1 = boxes[:, 1:2]
+        x2 = boxes[:, 2:3]
+        y2 = boxes[:, 3:4]
+        iw = jnp.maximum(jnp.minimum(x2, x2.T) - jnp.maximum(x1, x1.T), 0.0)
+        ih = jnp.maximum(jnp.minimum(y2, y2.T) - jnp.maximum(y1, y1.T), 0.0)
+        inter = iw * ih  # [K, K]
+        area = (x2 - x1) * (y2 - y1)  # [K, 1]
+        union = area + area.T - inter
+        iou = jnp.where(union > 0, inter / jnp.where(union > 0, union, 1.0), 0.0)
+        # mat[n, i, j] = 1: kept candidate i knocks out later candidate j.
+        mat_ref[pl.ds(n, 1), :, :] = jnp.where(
+            (iou > iou_threshold) & (col > row), 1.0, 0.0
+        ).reshape(1, K, K)
+        return 0
 
-    # Sequential greedy scan.  Mosaic cannot dynamically index the lane
-    # (minor) dimension, so per-candidate scalar reads use one-hot
-    # reductions and the keep/suppressed rows are loop-carried values;
-    # the only dynamic access is a sublane-dim row slice of the matrix.
+    jax.lax.fori_loop(0, CH, build, 0)
+
+    valid = valid_ref[...]  # [CH, K]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CH, K), 1)
+
     def body(i, carry):
-        keep, supp = carry
-        onehot = (lane == i).astype(jnp.float32)  # [1, K]
-        v = jnp.sum(valid_row * onehot)
-        s = jnp.sum(supp * onehot)
-        is_kept = jnp.where((v > 0.0) & (s == 0.0), 1.0, 0.0)
+        keep, supp = carry  # [CH, K] each
+        onehot = (lane == i).astype(jnp.float32)  # [CH, K]
+        v = jnp.sum(valid * onehot, axis=1, keepdims=True)  # [CH, 1]
+        s = jnp.sum(supp * onehot, axis=1, keepdims=True)
+        is_kept = jnp.where((v > 0.0) & (s == 0.0), 1.0, 0.0)  # [CH, 1]
         keep = keep + onehot * is_kept
-        srow = mat_ref[pl.ds(i, 1), :]  # [1, K]
+        srow = mat_ref[:, pl.ds(i, 1), :].reshape(CH, K)
         supp = jnp.maximum(supp, srow * is_kept)
         return keep, supp
 
     keep, supp = jax.lax.fori_loop(
         0, K, body,
-        (jnp.zeros((1, K), jnp.float32), jnp.zeros((1, K), jnp.float32)),
+        (jnp.zeros((CH, K), jnp.float32), jnp.zeros((CH, K), jnp.float32)),
     )
-    keep_ref[0] = keep
-    supp_ref[0] = supp
+    keep_ref[...] = keep
+    supp_ref[...] = supp
 
 
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
@@ -120,29 +130,40 @@ def pallas_nms_keep_mask(
     sboxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
     svalid = jnp.take_along_axis(valid, order, axis=1)
 
+    # Chunk size: the [CH, K, K] suppression scratch must fit VMEM next to
+    # the per-image [K, K] build temporaries (~5 MB budget, f32), and the
+    # sublane (CH) dimension of the 2-D blocks must be a multiple of 8.
+    CH = ((5 * 2**20 // 4) // max(K * K, 1)) // 8 * 8
+    CH = max(8, min(64, CH))
+    pad = (-N) % CH
+    if pad:
+        sboxes = jnp.concatenate([sboxes, jnp.zeros((pad, K, 4), sboxes.dtype)])
+        svalid = jnp.concatenate([svalid, jnp.zeros((pad, K), bool)])
+    NP = N + pad
+
     kernel = functools.partial(_nms_kernel, iou_threshold=iou_threshold)
     keep_sorted = pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(NP // CH,),
         in_specs=[
-            pl.BlockSpec((1, K, 4), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, K, 4), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, K), lambda n: (n, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, K), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, K), lambda n: (n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, K), lambda n: (n, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N, 1, K), jnp.float32),  # keep
-            jax.ShapeDtypeStruct((N, 1, K), jnp.float32),  # suppressed (scratch-ish)
+            jax.ShapeDtypeStruct((NP, K), jnp.float32),  # keep
+            jax.ShapeDtypeStruct((NP, K), jnp.float32),  # suppressed
         ],
-        scratch_shapes=[pltpu.VMEM((K, K), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((CH, K, K), jnp.float32)],
         interpret=interpret,
     )(
         sboxes.astype(jnp.float32),
-        svalid.astype(jnp.float32)[:, None, :],
+        svalid.astype(jnp.float32),
     )[0]
-    keep_sorted = keep_sorted[:, 0, :] > 0.5  # [N, K]
+    keep_sorted = keep_sorted[:N] > 0.5  # [N, K]
     # Scatter back to original candidate order.
     inv = jax.vmap(lambda o: jnp.zeros((K,), jnp.int32).at[o].set(jnp.arange(K)))(
         order
