@@ -20,10 +20,11 @@ class ExperimentConfig:
     # loss (train.py:43-44)
     lambda_coord: float = 5.0
     lambda_noobj: float = 0.5
-    # kernel/impl selectors: 'xla' or 'pallas' for the loss assignment and
-    # the eval NMS; remat = jax.checkpoint on ResNet blocks (memory saver)
+    # kernel/impl selectors: loss assignment 'xla'|'pallas'; eval NMS
+    # 'auto' (pallas on accelerators, xla on CPU) |'xla'|'pallas';
+    # remat = jax.checkpoint on residual/dense blocks (memory saver)
     assignment_impl: str = "xla"
-    nms_impl: str = "xla"
+    nms_impl: str = "auto"
     remat: bool = False
 
     # optimization (train.py:37-39, 83-89; batch 16 for resnet train.py:68)
@@ -62,12 +63,16 @@ class ExperimentConfig:
     resume: bool = False
 
     def __post_init__(self):
-        for field_name in ("assignment_impl", "nms_impl"):
-            v = getattr(self, field_name)
-            if v not in ("xla", "pallas"):
-                raise ValueError(
-                    f"{field_name} must be 'xla' or 'pallas', got {v!r}"
-                )
+        if self.assignment_impl not in ("xla", "pallas"):
+            raise ValueError(
+                f"assignment_impl must be 'xla' or 'pallas', got "
+                f"{self.assignment_impl!r}"
+            )
+        if self.nms_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"nms_impl must be 'auto', 'xla' or 'pallas', got "
+                f"{self.nms_impl!r}"
+            )
 
     def resolved_save_dir(self) -> str:
         if self.save_dir:

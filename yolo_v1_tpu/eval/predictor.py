@@ -46,8 +46,10 @@ class Predictor:
         C: int = 20,
         score_threshold: float = 0.1,
         nms_threshold: float = 0.45,
-        nms_impl: str = "xla",
+        nms_impl: str = "auto",
     ):
+        if nms_impl == "auto":
+            nms_impl = "xla" if jax.default_backend() == "cpu" else "pallas"
         self.class_names: Sequence[str] = VOC_CLASSES
         mean = jnp.asarray(IMAGENET_MEAN)
         std = jnp.asarray(IMAGENET_STD)

@@ -37,18 +37,20 @@ def make_detector(
     C: int = 20,
     score_threshold: float = 0.005,
     nms_threshold: float = 0.45,
-    nms_impl: str = "xla",
+    nms_impl: str = "auto",
     mesh=None,
 ) -> Callable:
     """Jitted (state, images) -> (boxes, scores, classes, keep), all [N,K,...].
 
     Boxes come out clamped to [0,1] (utils/utils.py:406); scaling to pixels
-    happens host-side.  ``nms_impl``: 'xla' (vectorized lax loop) or
-    'pallas' (VMEM-resident TPU kernel, ops/pallas/nms_kernel.py) — both
-    produce the identical greedy keep set.  With ``mesh``, the image batch
-    (and every per-candidate output) shards over the 'data' axis so eval
-    scales across chips like training does.
+    happens host-side.  ``nms_impl``: 'auto' (Pallas kernel on accelerator
+    backends — measured 1.34 vs 1.65 ms at K=392/bs64 — XLA on CPU), or
+    force 'xla' / 'pallas'; all produce the identical greedy keep set.
+    With ``mesh``, the image batch (and every per-candidate output) shards
+    over the 'data' axis so eval scales across chips like training does.
     """
+    if nms_impl == "auto":
+        nms_impl = "xla" if jax.default_backend() == "cpu" else "pallas"
 
     def detect(state: TrainState, images: jax.Array):
         pred = state.apply_fn(
@@ -119,7 +121,7 @@ class VocEvaluator:
         class_names: Sequence[str] = VOC_CLASSES,
         score_threshold: float = 0.005,
         nms_threshold: float = 0.45,
-        nms_impl: str = "xla",
+        nms_impl: str = "auto",
         match_iou: float = 0.5,
         use_07_metric: bool = False,  # reference default: continuous AP
         eval_image_size: int = 448,
