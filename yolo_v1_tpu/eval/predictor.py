@@ -48,8 +48,9 @@ class Predictor:
         nms_threshold: float = 0.45,
         nms_impl: str = "auto",
     ):
-        if nms_impl == "auto":
-            nms_impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+        from yolo_v1_tpu.ops.pallas.nms_kernel import resolve_nms_impl
+
+        nms_impl = resolve_nms_impl(nms_impl)
         self.class_names: Sequence[str] = VOC_CLASSES
         mean = jnp.asarray(IMAGENET_MEAN)
         std = jnp.asarray(IMAGENET_STD)

@@ -49,8 +49,9 @@ def make_detector(
     With ``mesh``, the image batch (and every per-candidate output) shards
     over the 'data' axis so eval scales across chips like training does.
     """
-    if nms_impl == "auto":
-        nms_impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+    from yolo_v1_tpu.ops.pallas.nms_kernel import resolve_nms_impl
+
+    nms_impl = resolve_nms_impl(nms_impl, mesh)
 
     def detect(state: TrainState, images: jax.Array):
         pred = state.apply_fn(

@@ -44,8 +44,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def resolve_nms_impl(impl: str, mesh=None) -> str:
+    """Resolve 'auto' to a concrete implementation.
+
+    The kernel lowers only through the Mosaic TPU pipeline ('tpu', or the
+    tunneled 'axon' platform) and has no GSPMD partitioning rule, so 'auto'
+    picks Pallas only for single-mesh TPU runs; everything else (CPU, GPU,
+    mesh-sharded eval) takes the XLA path, which partitions and lowers
+    everywhere.
+    """
+    if impl == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        return "pallas" if (on_tpu and mesh is None) else "xla"
+    if impl == "pallas" and mesh is not None:
+        raise ValueError(
+            "nms_impl='pallas' cannot be used with a mesh (the Mosaic custom "
+            "call has no partitioning rule); use 'auto' or 'xla'"
+        )
+    return impl
+
+
 def _nms_kernel(
-    boxes_ref, valid_ref, keep_ref, supp_ref, mat_ref, *, iou_threshold: float
+    boxes_ref, valid_ref, keep_ref, mat_ref, *, iou_threshold: float
 ):
     """One chunk of CH images: boxes [CH,K,4] (each image sorted by
     descending score), valid [CH,K] -> keep/supp [CH,K].
@@ -98,12 +118,11 @@ def _nms_kernel(
         supp = jnp.maximum(supp, srow * is_kept)
         return keep, supp
 
-    keep, supp = jax.lax.fori_loop(
+    keep, _ = jax.lax.fori_loop(
         0, K, body,
         (jnp.zeros((CH, K), jnp.float32), jnp.zeros((CH, K), jnp.float32)),
     )
     keep_ref[...] = keep
-    supp_ref[...] = supp
 
 
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
@@ -134,7 +153,12 @@ def pallas_nms_keep_mask(
     # the per-image [K, K] build temporaries (~5 MB budget, f32), and the
     # sublane (CH) dimension of the 2-D blocks must be a multiple of 8.
     CH = ((5 * 2**20 // 4) // max(K * K, 1)) // 8 * 8
-    CH = max(8, min(64, CH))
+    if CH == 0:
+        raise ValueError(
+            f"K={K} candidates exceed the Pallas NMS kernel's VMEM budget "
+            "(needs CH>=8 images of [K,K] scratch); use nms_impl='xla'"
+        )
+    CH = min(64, CH)
     pad = (-N) % CH
     if pad:
         sboxes = jnp.concatenate([sboxes, jnp.zeros((pad, K, 4), sboxes.dtype)])
@@ -149,20 +173,14 @@ def pallas_nms_keep_mask(
             pl.BlockSpec((CH, K, 4), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((CH, K), lambda n: (n, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((CH, K), lambda n: (n, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CH, K), lambda n: (n, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((NP, K), jnp.float32),  # keep
-            jax.ShapeDtypeStruct((NP, K), jnp.float32),  # suppressed
-        ],
+        out_specs=pl.BlockSpec((CH, K), lambda n: (n, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NP, K), jnp.float32),  # keep
         scratch_shapes=[pltpu.VMEM((CH, K, K), jnp.float32)],
         interpret=interpret,
     )(
         sboxes.astype(jnp.float32),
         svalid.astype(jnp.float32),
-    )[0]
+    )
     keep_sorted = keep_sorted[:N] > 0.5  # [N, K]
     # Scatter back to original candidate order.
     inv = jax.vmap(lambda o: jnp.zeros((K,), jnp.int32).at[o].set(jnp.arange(K)))(
