@@ -92,15 +92,23 @@ def test_cli_predict_missing_input_value(capsys):
     assert "requires --input" in capsys.readouterr().out
 
 
-def test_mesh_sizing_uses_gcd(voc_tree, tmp_path):
-    """batch 9 with default eval batch must not pick a mesh that divides
-    only one of them (regression: n=2 divided 32 but not 9)."""
-    import math
-
-    from yolo_v1_tpu.parallel.mesh import largest_divisor_device_count
-
-    need = math.gcd(9, 32)
-    assert largest_divisor_device_count(need, 8) == 1  # no mesh -> no crash
+def test_cli_train_nondividing_batch_pads_mesh(voc_tree, tmp_path):
+    """Batch 6 over the 8-device mesh must train on ALL devices by padding
+    to 8 with loss-masked rows (regression: the old gcd sizing idled chips
+    and fell back to one device for coprime batch sizes)."""
+    list_file, _ = voc_tree  # 8 images -> one drop_last batch of 6
+    save_dir = str(tmp_path / "runPad")
+    rc = cli.main(
+        ["train", "--backbone", "tiny", "--S", "7", "--image_size", "112",
+         "--batch_size", "6", "--num_epochs", "1",
+         "--train_list", list_file, "--test_list", list_file,
+         "--little_val", "6", "--eval_batch_size", "6",
+         "--run_full_map_threshold", "0.0", "--bf16", "false",
+         "--save_dir", save_dir]
+    )
+    assert rc == 0
+    log = open(os.path.join(save_dir, "train.log")).read()
+    assert "padding to 8 with loss-masked rows" in log
 
 
 def test_config_rejects_bad_impl():

@@ -202,3 +202,44 @@ def test_pallas_assignment_requires_stop_gradient(rng):
     )
     with pytest.raises(AssertionError):
         yolo_v1_loss(jnp.asarray(pred), jnp.asarray(target), cfg)
+
+
+def test_sample_weight_masks_padded_rows_exactly(rng):
+    """Loss of a wrap-padded batch with zero-weighted pad rows must equal
+    the unpadded loss (up to f32 reduction order — the padded batch sums 16
+    per-image values instead of 12; the mesh-padding contract,
+    parallel/mesh.pad_to_multiple + train/loop)."""
+    pred, target = make_pair(rng, 12, 7)
+    idx = np.arange(16) % 12  # pad 12 -> 16 wrap-around
+    pred_p, target_p = pred[idx], target[idx]
+    w = (np.arange(16) < 12).astype(np.float32)
+    t0, p0 = yolo_v1_loss(jnp.asarray(pred), jnp.asarray(target))
+    t1, p1 = yolo_v1_loss(
+        jnp.asarray(pred_p), jnp.asarray(target_p),
+        YoloV1LossConfig(), jnp.asarray(w),
+    )
+    np.testing.assert_allclose(float(t0), float(t1), rtol=1e-5)
+    for k in p0:
+        np.testing.assert_allclose(
+            float(p0[k]), float(p1[k]), rtol=1e-5, atol=1e-7, err_msg=k
+        )
+
+
+def test_sample_weight_gradients_ignore_padded_rows(rng):
+    pred, target = make_pair(rng, 4, 7)
+    idx = np.arange(8) % 4
+    w = (np.arange(8) < 4).astype(np.float32)
+    g = jax.grad(
+        lambda p: yolo_v1_loss(
+            p, jnp.asarray(target[idx]), YoloV1LossConfig(), jnp.asarray(w)
+        )[0]
+    )(jnp.asarray(pred[idx]))
+    g = np.asarray(g)
+    # zero-weight rows contribute nothing and receive no gradient
+    np.testing.assert_array_equal(g[4:], 0.0)
+    g_ref = np.asarray(
+        jax.grad(lambda p: yolo_v1_loss(p, jnp.asarray(target))[0])(
+            jnp.asarray(pred)
+        )
+    )
+    np.testing.assert_allclose(g[:4], g_ref, rtol=1e-6, atol=1e-8)

@@ -27,11 +27,20 @@ def test_shard_batch_places_on_data_axis():
 
 
 def test_pad_to_multiple():
-    x = np.ones((5, 2))
+    x = np.arange(10).reshape(5, 2)
     padded, n = pad_to_multiple(x, 4)
     assert padded.shape == (8, 2) and n == 5
+    # wrap-around copies of REAL rows (never garbage/last-row repeats)
+    np.testing.assert_array_equal(padded[5:], x[:3])
     same, n2 = pad_to_multiple(np.ones((8, 2)), 4)
     assert same.shape == (8, 2) and n2 == 8
+    # device arrays stay on device (no numpy detour)
+    import jax.numpy as jnp
+
+    dx = jnp.asarray(x)
+    dpadded, dn = pad_to_multiple(dx, 4)
+    assert isinstance(dpadded, jax.Array) and dn == 5
+    np.testing.assert_array_equal(np.asarray(dpadded), padded)
 
 
 def test_replicated_spec():

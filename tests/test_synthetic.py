@@ -1,0 +1,74 @@
+"""Synthetic VOC generator tests: tree layout, label contracts, determinism,
+pipeline compatibility, and the RAM image cache."""
+
+import numpy as np
+
+from yolo_v1_tpu.data.pipeline import PipelineConfig, YoloDataset
+from yolo_v1_tpu.data.synthetic import class_style, generate_dataset, generate_image
+from yolo_v1_tpu.data.voc import prep_test_data, read_list_file
+
+
+def test_class_styles_are_unique():
+    styles = [class_style(c) for c in range(20)]
+    assert len(set(styles)) == 20  # every class visually distinguishable
+
+
+def test_generate_image_boxes_in_bounds():
+    rng = np.random.default_rng(3)
+    img, boxes = generate_image(rng, image_size=112)
+    assert img.shape == (112, 112, 3) and img.dtype == np.uint8
+    assert 1 <= len(boxes) <= 4
+    for cls, cx, cy, w, h in boxes:
+        assert 0 <= cls < 20
+        assert 0.0 < cx - w / 2 and cx + w / 2 < 1.0
+        assert 0.0 < cy - h / 2 and cy + h / 2 < 1.0
+
+
+def test_generate_dataset_tree_and_pipeline_compat(tmp_path):
+    counts = generate_dataset(
+        str(tmp_path), n_train=6, n_test=4, image_size=112
+    )
+    assert counts == {"train.txt": 6, "test.txt": 4}
+    train_list = str(tmp_path / "train.txt")
+    files = read_list_file(train_list)
+    assert len(files) == 6
+
+    # The standard pipeline + GT index consume it unchanged.
+    ds = YoloDataset(
+        train_list, train=True, config=PipelineConfig(image_size=112)
+    )
+    img, boxes, labels = ds.load_sample(0)
+    assert img.shape == (112, 112, 3)
+    assert len(boxes) == len(labels) >= 1
+    gt = prep_test_data(str(tmp_path / "test.txt"))
+    assert len(gt) >= 1
+    for (_img_id, cls_name), bxs in gt.items():
+        assert isinstance(cls_name, str) and len(bxs) >= 1
+
+
+def test_generate_dataset_deterministic(tmp_path):
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    generate_dataset(str(a), n_train=2, n_test=1, image_size=96, seed=7)
+    generate_dataset(str(b), n_train=2, n_test=1, image_size=96, seed=7)
+    fa = sorted((a / "JPEGImages").iterdir())
+    fb = sorted((b / "JPEGImages").iterdir())
+    assert [f.name for f in fa] == [f.name for f in fb]
+    for x, y in zip(fa, fb):
+        assert x.read_bytes() == y.read_bytes()
+
+
+def test_image_cache_returns_same_arrays(tmp_path):
+    generate_dataset(str(tmp_path), n_train=2, n_test=1, image_size=96)
+    ds = YoloDataset(
+        str(tmp_path / "train.txt"), train=False,
+        config=PipelineConfig(image_size=96, cache_images=True),
+    )
+    img1, b1, l1 = ds.load_raw(0)
+    img2, _, _ = ds.load_raw(0)
+    assert img1 is img2  # cached object, no re-decode
+    # train=False load_sample must not mutate the cached image
+    s1, _, _ = ds.load_sample(0)
+    img3, _, _ = ds.load_raw(0)
+    np.testing.assert_array_equal(img1, img3)
+    assert s1.dtype == np.float32

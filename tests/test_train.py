@@ -197,6 +197,49 @@ def test_largest_divisor_device_count():
     assert largest_divisor_device_count(5, 4) == 1
 
 
+def test_weighted_step_with_ones_matches_unweighted():
+    """weighted=True with all-ones weights is the identical computation."""
+    state_a, images, targets = _tiny_setup()
+    state_b, _, _ = _tiny_setup()
+    step = jit_train_step(YoloV1LossConfig(S=7))
+    step_w = jit_train_step(YoloV1LossConfig(S=7), weighted=True)
+    state_a, parts_a = step(state_a, jnp.asarray(images), jnp.asarray(targets))
+    state_b, parts_b = step_w(
+        state_b, jnp.asarray(images), jnp.asarray(targets),
+        jnp.ones((images.shape[0],), jnp.float32),
+    )
+    np.testing.assert_allclose(
+        float(parts_a["total"]), float(parts_b["total"]), rtol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fit_pads_nondividing_batch_over_mesh():
+    """fit() with batch 12 on the 8-device mesh pads to 16, masks the 4
+    wrap-around rows out of the loss, and still trains (loss finite and
+    close to the single-device unpadded value — BN sees the duplicates, so
+    agreement is approximate by design)."""
+    mesh = make_mesh(8)
+    state, images, targets = _tiny_setup(batch=12)
+    state1, _, _ = _tiny_setup(batch=12)
+    step1 = jit_train_step(YoloV1LossConfig(S=7))
+    _, parts1 = step1(state1, jnp.asarray(images), jnp.asarray(targets))
+
+    def loader(epoch):
+        yield images, targets
+
+    state, result = fit(
+        state, loader, YoloV1LossConfig(S=7), mesh=mesh,
+        config=FitConfig(num_epochs=1),
+    )
+    assert len(result.epoch_losses) == 1
+    got, want = result.epoch_losses[0], float(parts1["total"])
+    assert np.isfinite(got)
+    np.testing.assert_allclose(got, want, rtol=0.05)
+
+
 def test_fit_resume_keeps_best_map(tmp_path):
     """Resumed fit must not let a worse eval clobber the persisted best."""
     from yolo_v1_tpu.train import checkpoint as ckpt

@@ -38,6 +38,7 @@ def _pipeline_config(cfg: ExperimentConfig) -> PipelineConfig:
     return PipelineConfig(
         image_size=cfg.image_size, S=cfg.S, B=cfg.B, C=cfg.num_classes,
         seed=cfg.seed, num_workers=cfg.num_workers,
+        cache_images=cfg.cache_images,
     )
 
 
@@ -103,27 +104,15 @@ def cmd_train(argv: list[str]) -> int:
     logger.info("the dataset has %d images", len(train_ds))
     logger.info("the batch_size is %d", cfg.batch_size)
 
-    import math
-
-    from yolo_v1_tpu.parallel.mesh import largest_divisor_device_count
-
     mesh = None
     if len(jax.devices()) > 1:
-        # The data axis must divide every batch size it will shard — the
-        # train batch always, the eval batch only when eval runs — so size
-        # the mesh from their gcd (a divisor of one alone is not enough).
-        need = cfg.batch_size
-        if cfg.test_list:
-            need = math.gcd(need, cfg.eval_batch_size)
-        n = largest_divisor_device_count(need)
-        if n > 1:
-            mesh = make_mesh(n)
-            if n < len(jax.devices()):
-                logger.warning(
-                    "using %d of %d devices (batch sizes %d/%d must divide "
-                    "the data axis)", n, len(jax.devices()),
-                    cfg.batch_size, cfg.eval_batch_size,
-                )
+        # All devices, always: batches that don't divide the mesh are padded
+        # with loss-masked rows (train/loop) or trimmed detector outputs
+        # (eval), so no chip idles on awkward batch sizes.
+        mesh = make_mesh(len(jax.devices()))
+        logger.info(
+            "data-parallel mesh over %d devices", len(jax.devices())
+        )
 
     evaluator = None
     if cfg.test_list:
@@ -348,12 +337,36 @@ def cmd_prepare_data(argv: list[str]) -> int:
     return 0
 
 
+def cmd_synth_data(argv: list[str]) -> int:
+    """Generate a synthetic VOC-style dataset (training demos on boxes
+    where the real VOC devkit cannot be mounted; data/synthetic.py)."""
+    import argparse
+
+    from yolo_v1_tpu.data.synthetic import generate_dataset
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--n_train", type=int, default=4000)
+    p.add_argument("--n_test", type=int, default=800)
+    p.add_argument("--image_size", type=int, default=448)
+    p.add_argument("--seed", type=int, default=0)
+    ns = p.parse_args(argv)
+    counts = generate_dataset(
+        ns.out_dir, n_train=ns.n_train, n_test=ns.n_test,
+        image_size=ns.image_size, seed=ns.seed,
+    )
+    for name, n in counts.items():
+        print(f"{name}: {n} images")
+    return 0
+
+
 COMMANDS = {
     "train": cmd_train,
     "map": cmd_map,
     "visualize": cmd_visualize,
     "predict": cmd_predict,
     "prepare-data": cmd_prepare_data,
+    "synth-data": cmd_synth_data,
 }
 
 

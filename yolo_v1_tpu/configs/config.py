@@ -49,6 +49,9 @@ class ExperimentConfig:
     # pipeline with the full op family incl. JPEG/blur (data/augment.py).
     device_augment: bool = False
     little_train: bool = False  # truncate to 64*8 samples (YOLODataLoader.py:85)
+    # Cache decoded+resized uint8 images in host RAM after first touch
+    # (VOC-scale data is ~9 GB; indispensable on core-starved hosts).
+    cache_images: bool = False
 
     # eval (train.py:127, utils/utils.py:405)
     little_val: int = 750

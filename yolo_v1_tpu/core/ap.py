@@ -115,6 +115,16 @@ def voc_eval(
         BB = np.array([p[2:] for p in pred], dtype=np.float64)[sorted_ind]
 
         npos = npos_by_class.get(cls, 0.0)
+        if npos == 0:
+            # Detections for a class with zero GT boxes: every one is a
+            # false positive, so AP is 0.  Short-circuit instead of feeding
+            # tp/eps recalls into voc_ap (the reference divides by zero
+            # here, utils/utils.py:304 — same ~0 outcome, now explicit).
+            aps[cls] = 0.0
+            ap_list.append(0.0)
+            if logger:
+                logger.info("---class %s ap %s---", cls, 0.0)
+            continue
         nd = len(image_ids)
         tp = np.zeros(nd)
         fp = np.zeros(nd)
@@ -133,7 +143,7 @@ def voc_eval(
                 fp[d] = 1
         fp = np.cumsum(fp)
         tp = np.cumsum(tp)
-        rec = tp / max(npos, np.finfo(np.float64).eps)
+        rec = tp / npos
         prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
         ap = voc_ap(rec, prec, use_07_metric)
         aps[cls] = ap

@@ -52,6 +52,10 @@ class PipelineConfig:
     augment: AugmentConfig = AugmentConfig()
     seed: int = 0
     num_workers: int = 4  # train.py:119
+    # Keep decoded+resized uint8 images (and parsed labels) in RAM after
+    # first touch.  VOC-scale data fits easily (16.5k x 448^2 x 3 = 9.3 GB)
+    # and JPEG decode is the host bottleneck when cores are scarce.
+    cache_images: bool = False
 
 
 class YoloDataset:
@@ -69,6 +73,10 @@ class YoloDataset:
         self.files = read_list_file(list_file)
         if little_train:
             self.files = self.files[: 64 * 8]  # YOLODataLoader.py:85-86
+        # idx -> (uint8 image, boxes, labels); plain dict writes are atomic
+        # under the GIL so the loader's thread pool needs no lock (a racing
+        # double-load just wastes one decode).
+        self._cache: dict | None = {} if self.config.cache_images else None
 
     def __len__(self) -> int:
         return len(self.files)
@@ -78,6 +86,8 @@ class YoloDataset:
 
     def load_raw(self, idx: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """uint8 RGB image resized square + normalized cxcywh boxes + labels."""
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
         cfg = self.config
         path = self.files[idx]
         img = cv2.imread(path)
@@ -86,7 +96,9 @@ class YoloDataset:
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         img = cv2.resize(img, (cfg.image_size, cfg.image_size))
         boxes, labels = parse_label_file(label_path_for_image(path))
-        return img, boxes, labels
+        if self._cache is not None:
+            self._cache[idx] = (img, boxes, labels)
+        return self._cache[idx] if self._cache is not None else (img, boxes, labels)
 
     def load_sample(
         self, idx: int, epoch: int = 0

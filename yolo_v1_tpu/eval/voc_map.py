@@ -39,6 +39,7 @@ def make_detector(
     nms_threshold: float = 0.45,
     nms_impl: str = "auto",
     mesh=None,
+    normalize_on_device: bool = False,
 ) -> Callable:
     """Jitted (state, images) -> (boxes, scores, classes, keep), all [N,K,...].
 
@@ -48,12 +49,21 @@ def make_detector(
     force 'xla' / 'pallas'; all produce the identical greedy keep set.
     With ``mesh``, the image batch (and every per-candidate output) shards
     over the 'data' axis so eval scales across chips like training does.
+    With ``normalize_on_device``, images arrive as raw uint8 RGB (4x fewer
+    H2D bytes) and the ImageNet normalization runs on-chip in the same f32
+    op order as the host pipeline — results are bit-identical.
     """
     from yolo_v1_tpu.ops.pallas.nms_kernel import resolve_nms_impl
 
     nms_impl = resolve_nms_impl(nms_impl, mesh)
 
     def detect(state: TrainState, images: jax.Array):
+        if normalize_on_device:
+            from yolo_v1_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+            images = (
+                images.astype(jnp.float32) / 255.0 - jnp.asarray(IMAGENET_MEAN)
+            ) / jnp.asarray(IMAGENET_STD)
         pred = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             images,
@@ -145,10 +155,18 @@ class VocEvaluator:
             max_workers=max(dataset.config.num_workers, 2)
         )
         self.mesh = mesh
+        # The compiled batch shape must divide the mesh; round up and let
+        # the host-side trim (below) drop the padded rows' detections.
+        n_mesh = mesh.devices.size if mesh is not None else 1
+        self._device_bs = -(-batch_size // n_mesh) * n_mesh
+        # Feed raw uint8 and normalize on-chip: the eval loop is host-feed
+        # bound (one f32 image is 2.4 MB vs 0.6 MB uint8) and the dataset is
+        # train=False, so load_raw + on-device normalize reproduces
+        # load_sample exactly.
         self.detector = make_detector(
             S=cfg.S, B=cfg.B, C=cfg.C,
             score_threshold=score_threshold, nms_threshold=nms_threshold,
-            nms_impl=nms_impl, mesh=mesh,
+            nms_impl=nms_impl, mesh=mesh, normalize_on_device=True,
         )
         # Predictions are scaled into the GT's pixel frame — always 448 in
         # the reference regardless of network input (utils/utils.py:356-387
@@ -158,9 +176,9 @@ class VocEvaluator:
     def _load_batch(self, start: int, n: int):
         idxs = list(range(start, min(start + self.batch_size, n)))
         futures = [
-            self._pool.submit(self.dataset.load_sample, i) for i in idxs
+            self._pool.submit(self.dataset.load_raw, i) for i in idxs
         ]
-        images = np.stack([f.result()[0] for f in futures])
+        images = np.stack([f.result()[0] for f in futures])  # uint8 RGB
         ids = [image_id_of(self.dataset.image_path(i)) for i in idxs]
         return images, ids
 
@@ -176,8 +194,8 @@ class VocEvaluator:
             images, ids = pending.result()
             if start + bs < n:
                 pending = self._pool.submit(self._load_batch, start + bs, n)
-            if images.shape[0] < bs:  # pad for a single compiled shape
-                pad = bs - images.shape[0]
+            if images.shape[0] < self._device_bs:  # one compiled shape
+                pad = self._device_bs - images.shape[0]
                 images = np.concatenate([images, np.zeros_like(images[:1]).repeat(pad, 0)])
             if self.mesh is not None:
                 from yolo_v1_tpu.parallel.mesh import shard_batch

@@ -70,6 +70,7 @@ def yolo_v1_loss(
     pred: Array,
     target: Array,
     config: YoloV1LossConfig = YoloV1LossConfig(),
+    sample_weight: Array | None = None,
 ) -> tuple[Array, dict[str, Array]]:
     """Compute the YOLOv1 loss.
 
@@ -77,6 +78,12 @@ def yolo_v1_loss(
       pred: [N, S, S, B*5+C] sigmoid network output, conf-first layout.
       target: [N, S, S, B*5+C] encoded targets (core.grid.encode_targets).
       config: loss hyperparameters.
+      sample_weight: optional [N] per-image weights.  Used by the trainer to
+        mask rows added by batch padding (parallel/mesh.pad_to_multiple) so
+        every device can be used even when the batch size does not divide
+        the mesh; the divisor becomes sum(weight) instead of the static N
+        (still the real-image count).  None keeps the reference's exact
+        sum-everything / batch_size reduction (v1Loss.py:104-105).
 
     Returns:
       (total_loss scalar, breakdown dict) — breakdown keys mirror the
@@ -89,12 +96,22 @@ def yolo_v1_loss(
     target = target.astype(jnp.float32)
     N = pred.shape[0]
 
+    if sample_weight is None:
+        reduce_images = jnp.sum  # [N] per-image sums -> scalar
+        denom = jnp.float32(N)
+    else:
+        w = sample_weight.astype(jnp.float32)
+        reduce_images = lambda per_image: jnp.sum(per_image * w)  # noqa: E731
+        denom = jnp.sum(w)
+
     obj = (target[..., 0] == 1.0).astype(jnp.float32)  # [N, S, S]
 
     # --- class loss over object cells (v1Loss.py:33-41) ---
     pred_cls = pred[..., 5 * B :]
     gt_cls = target[..., 5 * B :]
-    cls_loss = jnp.sum(obj[..., None] * (pred_cls - gt_cls) ** 2)
+    cls_loss = reduce_images(
+        jnp.sum(obj[..., None] * (pred_cls - gt_cls) ** 2, axis=(1, 2, 3))
+    )
 
     # --- responsible-box assignment (vectorized v1Loss.py:64-78) ---
     pred_boxes = pred[..., B : 5 * B].reshape(N, S, S, B, 4)
@@ -131,8 +148,12 @@ def yolo_v1_loss(
 
     # --- confidence losses (v1Loss.py:90-91) ---
     pred_conf = pred[..., :B]
-    obj_conf_loss = jnp.sum(contain * (pred_conf - iou_target) ** 2)
-    noobj_conf_loss = jnp.sum(not_contain * pred_conf**2)
+    obj_conf_loss = reduce_images(
+        jnp.sum(contain * (pred_conf - iou_target) ** 2, axis=(1, 2, 3))
+    )
+    noobj_conf_loss = reduce_images(
+        jnp.sum(not_contain * pred_conf**2, axis=(1, 2, 3))
+    )
 
     # --- coordinate loss, paper-correct (diverges from v1Loss.py:101) ---
     gt_boxes_b = target[..., B : 5 * B].reshape(N, S, S, B, 4)
@@ -141,22 +162,27 @@ def yolo_v1_loss(
         (_safe_sqrt(pred_boxes[..., 2:]) - _safe_sqrt(gt_boxes_b[..., 2:])) ** 2,
         axis=-1,
     )
-    coord_loss = jnp.sum(contain * (xy_err + wh_err))
+    coord_loss = reduce_images(jnp.sum(contain * (xy_err + wh_err), axis=(1, 2, 3)))
 
     total = (
         config.lambda_coord * coord_loss
         + obj_conf_loss
         + config.lambda_noobj * noobj_conf_loss
         + cls_loss
-    ) / N
+    ) / denom
 
-    n_obj = jnp.maximum(jnp.sum(obj), 1.0)
+    if sample_weight is None:
+        n_obj = jnp.maximum(jnp.sum(obj), 1.0)
+        weighted_iou = jnp.sum(contain * ious)
+    else:
+        n_obj = jnp.maximum(reduce_images(jnp.sum(obj, axis=(1, 2))), 1.0)
+        weighted_iou = reduce_images(jnp.sum(contain * ious, axis=(1, 2, 3)))
     breakdown = {
-        "location": coord_loss / N,
-        "confidence": obj_conf_loss / N,
-        "no_object": noobj_conf_loss / N,
-        "classify": cls_loss / N,
+        "location": coord_loss / denom,
+        "confidence": obj_conf_loss / denom,
+        "no_object": noobj_conf_loss / denom,
+        "classify": cls_loss / denom,
         "total": total,
-        "mean_iou": jnp.sum(contain * ious) / n_obj,
+        "mean_iou": weighted_iou / n_obj,
     }
     return total, breakdown

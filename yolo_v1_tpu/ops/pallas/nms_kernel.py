@@ -158,7 +158,9 @@ def pallas_nms_keep_mask(
             f"K={K} candidates exceed the Pallas NMS kernel's VMEM budget "
             "(needs CH>=8 images of [K,K] scratch); use nms_impl='xla'"
         )
-    CH = min(64, CH)
+    # Clamp to the actual batch (rounded up to the 8-sublane granule) so a
+    # small batch is not zero-padded to a larger chunk and scanned for free.
+    CH = min(64, CH, -(-N // 8) * 8)
     pad = (-N) % CH
     if pad:
         sboxes = jnp.concatenate([sboxes, jnp.zeros((pad, K, 4), sboxes.dtype)])

@@ -81,12 +81,18 @@ def largest_divisor_device_count(
     return 1
 
 
-def pad_to_multiple(batch: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
-    """Pad the batch dim up to a multiple (uneven final batches must still
-    shard evenly over the mesh). Returns (padded, n_real)."""
+def pad_to_multiple(batch, multiple: int) -> tuple:
+    """Pad the batch dim up to a multiple with wrap-around copies of real
+    rows (uneven batches must still shard evenly over the mesh; the trainer
+    masks the copies out of the loss).  Device arrays are padded on device —
+    no D2H round trip.  Returns (padded, n_real)."""
     n = batch.shape[0]
     rem = (-n) % multiple
     if rem == 0:
         return batch, n
-    pad = np.repeat(batch[-1:], rem, axis=0)
-    return np.concatenate([batch, pad], axis=0), n
+    idx = np.arange(n + rem) % n
+    if isinstance(batch, jax.Array):
+        import jax.numpy as jnp
+
+        return jnp.take(batch, jnp.asarray(idx), axis=0), n
+    return np.take(batch, idx, axis=0), n

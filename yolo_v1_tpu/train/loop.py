@@ -33,16 +33,31 @@ import numpy as np
 from jax.sharding import Mesh
 
 from yolo_v1_tpu.losses.yolov1 import YoloV1LossConfig, yolo_v1_loss
-from yolo_v1_tpu.parallel.mesh import data_sharding, replicated
+from yolo_v1_tpu.parallel.mesh import data_sharding, pad_to_multiple, replicated
 from yolo_v1_tpu.train.state import TrainState
 
 
 def make_train_step(
-    loss_config: YoloV1LossConfig,
-) -> Callable[[TrainState, jax.Array, jax.Array], tuple[TrainState, dict]]:
-    """Build the pure train-step function (un-jitted)."""
+    loss_config: YoloV1LossConfig, weighted: bool = False
+) -> Callable[..., tuple[TrainState, dict]]:
+    """Build the pure train-step function (un-jitted).
 
-    def train_step(state: TrainState, images: jax.Array, targets: jax.Array):
+    With ``weighted=True`` the step takes an extra [N] per-image weight
+    vector and masks those rows out of the loss — used when the batch is
+    padded up to a multiple of the mesh size (parallel/mesh.pad_to_multiple)
+    so awkward batch sizes still use every device.  Padded rows are
+    wrap-around copies of real images; they do contribute to the sync-BN
+    batch statistics (bounded skew of pad/batch duplicated samples — the
+    analog of the reference's per-replica BN imbalance under
+    ``nn.DataParallel``'s uneven scatter, train.py:80).
+    """
+
+    def train_step(
+        state: TrainState,
+        images: jax.Array,
+        targets: jax.Array,
+        weights: jax.Array | None = None,
+    ):
         def loss_fn(params):
             pred, mutated = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -50,7 +65,7 @@ def make_train_step(
                 train=True,
                 mutable=["batch_stats"],
             )
-            total, parts = yolo_v1_loss(pred, targets, loss_config)
+            total, parts = yolo_v1_loss(pred, targets, loss_config, weights)
             return total, (parts, mutated["batch_stats"])
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -58,21 +73,26 @@ def make_train_step(
         new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         return new_state, parts
 
-    return train_step
+    if weighted:
+        return train_step
+    return lambda state, images, targets: train_step(state, images, targets)
 
 
 def jit_train_step(
-    loss_config: YoloV1LossConfig, mesh: Mesh | None = None
+    loss_config: YoloV1LossConfig,
+    mesh: Mesh | None = None,
+    weighted: bool = False,
 ) -> Callable:
     """Jit the train step; with a mesh, shard the batch over the 'data' axis
     and replicate the state (XLA then emits the DP gradient psum)."""
-    step = make_train_step(loss_config)
+    step = make_train_step(loss_config, weighted=weighted)
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
     repl, data = replicated(mesh), data_sharding(mesh)
+    n_in = 3 if weighted else 2
     return jax.jit(
         step,
-        in_shardings=(repl, data, data),
+        in_shardings=(repl,) + (data,) * n_in,
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
@@ -143,7 +163,6 @@ def fit(
         time.clock() wall-clock lines, train.py:150-184).
     """
     config = config or FitConfig()
-    step_fn = jit_train_step(loss_config, mesh)
     put = (lambda a: jax.device_put(a, data_sharding(mesh))) if mesh else jnp.asarray
     # Resume restores the mAP gates too (persisted in the checkpoint), so a
     # post-resume epoch can never clobber a better 'best' checkpoint.
@@ -152,18 +171,26 @@ def fit(
     )
     info = logger.info if logger else (lambda *a: None)
     return _fit_epochs(
-        state, train_loader_fn, config, step_fn, put, result, info,
+        state, train_loader_fn, config, loss_config, mesh, put, result, info,
         evaluator, checkpointer, metric_writer, start_epoch, profile_dir,
     )
 
 
+
+
 def _fit_epochs(
-    state, train_loader_fn, config, step_fn, put, result, info,
+    state, train_loader_fn, config, loss_config, mesh, put, result, info,
     evaluator, checkpointer, metric_writer, start_epoch, profile_dir,
 ):
     profiling = False
     epoch = start_epoch
     completed_epoch = start_epoch - 1  # last epoch whose BATCHES all ran
+    # The step is built lazily at the first batch: only then do we know
+    # whether the batch size divides the mesh (if not, batches are padded
+    # and the loss row-masked so every device still gets work).
+    step_fn = None
+    mesh_n = mesh.devices.size if mesh is not None else 1
+    padded = False
     try:
         for epoch in range(start_epoch, config.num_epochs):
             info("Starting epoch %d / %d", epoch + 1, config.num_epochs)
@@ -178,7 +205,29 @@ def _fit_epochs(
                         jax.profiler.stop_trace()
                         profiling = False
                         info("profiler trace written to %s", profile_dir)
-                state, parts = step_fn(state, put(images), put(targets))
+                if step_fn is None:
+                    padded = images.shape[0] % mesh_n != 0
+                    step_fn = jit_train_step(
+                        loss_config, mesh, weighted=padded
+                    )
+                    if padded:
+                        info(
+                            "batch %d does not divide the %d-device mesh; "
+                            "padding to %d with loss-masked rows",
+                            images.shape[0], mesh_n,
+                            images.shape[0] + (-images.shape[0]) % mesh_n,
+                        )
+                if padded:
+                    images_p, n_real = pad_to_multiple(images, mesh_n)
+                    targets_p, _ = pad_to_multiple(targets, mesh_n)
+                    weights = (
+                        np.arange(images_p.shape[0]) < n_real
+                    ).astype(np.float32)
+                    state, parts = step_fn(
+                        state, put(images_p), put(targets_p), put(weights)
+                    )
+                else:
+                    state, parts = step_fn(state, put(images), put(targets))
                 # Keep losses as device scalars — fetching every step would
                 # force a host sync per iteration and serialize dispatch.
                 losses.append(parts["total"])
@@ -254,10 +303,19 @@ def _fit_epochs(
             # the step-keyed LR schedule).
             info("interrupted; saving latest checkpoint (completed epoch %d)",
                  completed_epoch)
-            checkpointer.save(
-                state, epoch=completed_epoch, best=False,
-                extras={"best_map": result.best_map,
-                        "last_little_map": result.last_little_map},
-            )
+            try:
+                checkpointer.save(
+                    state, epoch=completed_epoch, best=False,
+                    extras={"best_map": result.best_map,
+                            "last_little_map": result.last_little_map},
+                )
+            except Exception as e:  # pragma: no cover - timing-dependent
+                # The train step donates `state`; an interrupt landing inside
+                # step_fn (inputs donated, output not yet rebound) leaves
+                # `state` pointing at deleted buffers.  The previous epoch's
+                # on-disk checkpoint is then the best recoverable state —
+                # losing one epoch beats crashing out of the save handler.
+                info("interrupt checkpoint failed (%s); last on-disk "
+                     "checkpoint remains the resume point", e)
         raise
     return state, result
