@@ -322,3 +322,19 @@ def test_metric_writer_rotates_on_fresh_run(tmp_path):
     assert w2.history["train loss"] == [(0, 2.0)]
     w2.close()
     assert (tmp_path / "metrics.1.csv").exists()
+
+
+def test_metric_writer_image_panels(tmp_path):
+    from yolo_v1_tpu.train.metrics import MetricWriter
+
+    w = MetricWriter(str(tmp_path))
+    img = np.zeros((32, 32, 3), np.uint8)
+    img[:16] = 255
+    w.img("detections", img)
+    w.img("detections", img)
+    w.plot("train loss", 1.0)
+    html = open(w.render_html()).read()
+    assert "panels/detections_00001.jpg" in html
+    assert (tmp_path / "panels" / "detections_00000.jpg").exists()
+    assert (tmp_path / "panels" / "detections_00001.jpg").exists()
+    w.close()

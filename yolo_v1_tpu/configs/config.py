@@ -21,7 +21,8 @@ class ExperimentConfig:
     lambda_coord: float = 5.0
     lambda_noobj: float = 0.5
     # kernel/impl selectors: loss assignment 'xla'|'pallas'; eval NMS
-    # 'auto' (pallas on accelerators, xla on CPU) |'xla'|'pallas';
+    # 'auto' (Pallas kernel on accelerators, xla on CPU) |'xla'|'pallas'
+    # (batch-parallel NMS kernel) |'fused' (single-program decode+NMS);
     # remat = jax.checkpoint on residual/dense blocks (memory saver)
     assignment_impl: str = "xla"
     nms_impl: str = "auto"
@@ -71,9 +72,9 @@ class ExperimentConfig:
                 f"assignment_impl must be 'xla' or 'pallas', got "
                 f"{self.assignment_impl!r}"
             )
-        if self.nms_impl not in ("auto", "xla", "pallas"):
+        if self.nms_impl not in ("auto", "xla", "pallas", "fused"):
             raise ValueError(
-                f"nms_impl must be 'auto', 'xla' or 'pallas', got "
+                f"nms_impl must be 'auto', 'xla', 'pallas' or 'fused', got "
                 f"{self.nms_impl!r}"
             )
 

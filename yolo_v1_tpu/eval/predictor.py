@@ -63,7 +63,17 @@ class Predictor:
             boxes, scores, classes, valid = jax.vmap(
                 partial(decode_grid, S=S, B=B, C=C, score_threshold=score_threshold)
             )(pred)
-            if nms_impl == "pallas":
+            if nms_impl == "fused":
+                from yolo_v1_tpu.ops.pallas.fused_decode_nms import (
+                    pallas_fused_decode_nms,
+                )
+
+                keep = pallas_fused_decode_nms(
+                    pred.astype(jnp.float32), S=S, B=B, C=C,
+                    score_threshold=score_threshold,
+                    iou_threshold=nms_threshold,
+                )
+            elif nms_impl == "pallas":
                 from yolo_v1_tpu.ops.pallas.nms_kernel import pallas_nms_keep_mask
 
                 keep = pallas_nms_keep_mask(

@@ -72,7 +72,20 @@ def make_detector(
         boxes, scores, classes, valid = jax.vmap(
             partial(decode_grid, S=S, B=B, C=C, score_threshold=score_threshold)
         )(pred)
-        if nms_impl == "pallas":
+        if nms_impl == "fused":
+            # One Pallas program straight from the grid to the keep mask
+            # (sort-free); the elementwise decode above still feeds the
+            # box/score/class outputs the host consumes.
+            from yolo_v1_tpu.ops.pallas.fused_decode_nms import (
+                pallas_fused_decode_nms,
+            )
+
+            keep = pallas_fused_decode_nms(
+                pred.astype(jnp.float32), S=S, B=B, C=C,
+                score_threshold=score_threshold,
+                iou_threshold=nms_threshold,
+            )
+        elif nms_impl == "pallas":
             from yolo_v1_tpu.ops.pallas.nms_kernel import pallas_nms_keep_mask
 
             keep = pallas_nms_keep_mask(
@@ -222,3 +235,47 @@ class VocEvaluator:
 
     def full_map(self, state: TrainState) -> float:
         return self._run(state, None, self.gt_full)
+
+    def render_panel(
+        self, state: TrainState, n: int = 4, min_score: float = 0.1
+    ):
+        """Tile the first n test images with current detections drawn — the
+        training-time visual feedback of the reference's visdom image panels
+        (utils/visual.py:35-40; eval.py:94 uses the 0.1 display threshold).
+        Reuses the evaluator's compiled detector shape (no extra program).
+        """
+        from yolo_v1_tpu.eval.visualize import draw_detections
+
+        n = min(n, len(self.dataset), self.batch_size)
+        images, _ = self._load_batch(0, n)
+        if images.shape[0] < self._device_bs:
+            pad = self._device_bs - images.shape[0]
+            images = np.concatenate(
+                [images, np.zeros_like(images[:1]).repeat(pad, 0)]
+            )
+        if self.mesh is not None:
+            from yolo_v1_tpu.parallel.mesh import shard_batch
+
+            device_images = shard_batch(self.mesh, images)
+        else:
+            device_images = jnp.asarray(images)
+        boxes, scores, classes, keep = jax.tree.map(
+            np.asarray, self.detector(state, device_images)
+        )
+        tiles = []
+        for i in range(n):
+            show = keep[i] & (scores[i] > min_score)
+            tiles.append(
+                draw_detections(
+                    images[i], boxes[i][show], classes[i][show],
+                    scores[i][show], class_names=self.class_names,
+                )
+            )
+        cols = 2 if n > 1 else 1
+        rows = -(-n // cols)
+        h, w = tiles[0].shape[:2]
+        panel = np.zeros((rows * h, cols * w, 3), np.uint8)
+        for i, t in enumerate(tiles):
+            r, c = divmod(i, cols)
+            panel[r * h : (r + 1) * h, c * w : (c + 1) * w] = t
+        return panel

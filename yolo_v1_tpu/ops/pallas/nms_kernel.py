@@ -47,19 +47,20 @@ from jax.experimental.pallas import tpu as pltpu
 def resolve_nms_impl(impl: str, mesh=None) -> str:
     """Resolve 'auto' to a concrete implementation.
 
-    The kernel lowers only through the Mosaic TPU pipeline ('tpu', or the
-    tunneled 'axon' platform) and has no GSPMD partitioning rule, so 'auto'
-    picks Pallas only for single-mesh TPU runs; everything else (CPU, GPU,
-    mesh-sharded eval) takes the XLA path, which partitions and lowers
-    everywhere.
+    The kernels lower only through the Mosaic TPU pipeline ('tpu', or the
+    tunneled 'axon' platform) and have no GSPMD partitioning rule, so 'auto'
+    picks a Pallas kernel only for single-mesh TPU runs; everything else
+    (CPU, GPU, mesh-sharded eval) takes the XLA path, which partitions and
+    lowers everywhere.  'fused' selects the single-program decode+NMS
+    kernel (ops/pallas/fused_decode_nms.py).
     """
     if impl == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
         return "pallas" if (on_tpu and mesh is None) else "xla"
-    if impl == "pallas" and mesh is not None:
+    if impl in ("pallas", "fused") and mesh is not None:
         raise ValueError(
-            "nms_impl='pallas' cannot be used with a mesh (the Mosaic custom "
-            "call has no partitioning rule); use 'auto' or 'xla'"
+            f"nms_impl='{impl}' cannot be used with a mesh (the Mosaic "
+            "custom call has no partitioning rule); use 'auto' or 'xla'"
         )
     return impl
 

@@ -275,6 +275,13 @@ def _fit_epochs(
                 if metric_writer:
                     metric_writer.plot("little mAP", little)
                     metric_writer.plot("mAP", test_map)
+                    # Live detection-overlay panel (reference visual.py:35-40).
+                    if hasattr(metric_writer, "img") and hasattr(
+                        evaluator, "render_panel"
+                    ):
+                        metric_writer.img(
+                            "detections", evaluator.render_panel(state)
+                        )
                 info("little mAP %.5f, full mAP %.5f", little, test_map)
 
             # --- checkpointing (train.py:204-209) ---

@@ -31,6 +31,7 @@ class MetricWriter:
         self.logger = logger
         self._steps: dict[str, int] = defaultdict(int)
         self.history: dict[str, list[tuple[int, float]]] = defaultdict(list)
+        self._images: dict[str, str] = {}  # name -> latest relative path
         if not resume and os.path.exists(self.path):
             # Fresh run into a reused save_dir: rotate the old CSV aside so
             # the two runs' series don't interleave.
@@ -74,6 +75,21 @@ class MetricWriter:
         if self.logger:
             self.logger.info(text)
 
+    def img(self, name: str, image) -> None:
+        """Record an image panel (the reference's ``Visual.img`` visdom
+        window, visual.py:35-40): JPEG under ``panels/`` with an
+        auto-incrementing step, embedded in the dashboard HTML."""
+        import cv2
+        import numpy as np
+
+        step = self._steps[f"img:{name}"]
+        self._steps[f"img:{name}"] = step + 1
+        panel_dir = os.path.join(os.path.dirname(self.path), "panels")
+        os.makedirs(panel_dir, exist_ok=True)
+        path = os.path.join(panel_dir, f"{name}_{step:05d}.jpg")
+        cv2.imwrite(path, cv2.cvtColor(np.asarray(image), cv2.COLOR_RGB2BGR))
+        self._images[name] = os.path.join("panels", f"{name}_{step:05d}.jpg")
+
     def render_html(self, filename: str = "dashboard.html") -> str:
         """Write a self-contained SVG dashboard of all series — the offline
         stand-in for the reference's live visdom panels (visual.py:25-33)."""
@@ -101,6 +117,11 @@ class MetricWriter:
                 f"stroke-width='1.5'/>"
                 f"<text x='{pad}' y='12' class='t'>last: {ys[-1]:.5g}"
                 f"  min: {min(ys):.5g}  max: {max(ys):.5g}</text></svg></div>"
+            )
+        for name, rel in sorted(self._images.items()):
+            panels.append(
+                f"<div class='p'><h3>{name}</h3>"
+                f"<img src='{rel}' style='max-width:720px'/></div>"
             )
         html = (
             "<html><head><style>body{font-family:sans-serif;display:flex;"
