@@ -1,13 +1,19 @@
-"""Benchmark: batched inference throughput of the flagship detector.
+"""Benchmark: batched inference + train-step throughput, flagship model.
 
 Measures images/sec through the full serving path — ResNet-50-S7 bf16
 forward + grid decode + NMS, all in one jit — on the default JAX device
-(the real TPU chip under the driver).  Baseline: the reference's recorded
-inference+eval loop throughput, 39.71 it/s at batch 1 on its CUDA GPU
-(BASELINE.md: testCodes/resnet_result.txt "4861it [02:02, 39.71it/s]").
+(the real TPU chip under the driver), plus the full training step
+(forward + YOLOv1 loss + backward + SGD + BN stats, one donated jit).
+Baseline: the reference's recorded inference+eval loop throughput,
+39.71 it/s at batch 1 on its CUDA GPU (BASELINE.md:
+testCodes/resnet_result.txt "4861it [02:02, 39.71it/s]"); its logs record
+no train-step timing, so the train number rides along as extra keys
+(train_imgs_per_sec / train_ms_per_step, batch 128 — the measured knee of
+the round-2 sweep: 563 @ bs32, 535 @ bs64, 592 @ bs128).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N,
+   "train_imgs_per_sec": N, "train_ms_per_step": N}
 Everything else goes to stderr.
 """
 
@@ -94,6 +100,8 @@ def main() -> None:
         f"{per_batch * 1e3:.2f}ms/batch, {ips:.1f} images/sec"
     )
 
+    train_ips, train_ms = bench_train_step()
+
     print(
         json.dumps(
             {
@@ -101,9 +109,62 @@ def main() -> None:
                 "value": round(ips, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(ips / BASELINE_IPS, 2),
+                "train_imgs_per_sec": round(train_ips, 1),
+                "train_ms_per_step": round(train_ms, 2),
             }
         )
     )
+
+
+def bench_train_step(batch: int = 128, iters: int = 15) -> tuple[float, float]:
+    """Full train-step throughput (fwd+loss+bwd+SGD+BN), marginal timing."""
+    import jax.numpy as jnp
+
+    from yolo_v1_tpu.losses.yolov1 import YoloV1LossConfig
+    from yolo_v1_tpu.models.registry import build_model
+    from yolo_v1_tpu.train.loop import jit_train_step
+    from yolo_v1_tpu.train.schedule import make_lr_schedule
+    from yolo_v1_tpu.train.state import create_train_state, make_optimizer
+
+    S = 7
+    model = build_model("resnet50", S=S, dtype=jnp.bfloat16)
+    tx = make_optimizer(make_lr_schedule(100, 1e-6, 1000, {1: 1e-3}), "sgd", 0.99)
+    state = create_train_state(model, __import__("jax").random.PRNGKey(0),
+                               (1, 448, 448, 3), tx)
+    step = jit_train_step(YoloV1LossConfig(S=S), mesh=None)
+
+    rng = np.random.default_rng(0)
+    tgt = np.zeros((batch, S, S, 30), np.float32)
+    tgt[:, 3, 3, 0:2] = 1.0
+    tgt[:, 3, 3, 2:10] = 0.5
+    tgt[:, 3, 3, 13] = 1.0
+    batches = [
+        (jnp.asarray(rng.normal(0, 1, (batch, 448, 448, 3)).astype(np.float32)),
+         jnp.asarray(tgt))
+        for _ in range(2)
+    ]
+
+    t0 = time.perf_counter()
+    state, parts = step(state, *batches[0])
+    float(parts["total"])
+    log(f"train compile+first: {time.perf_counter() - t0:.1f}s")
+
+    state_box = [state]
+
+    def chain(n: int) -> float:
+        t0 = time.perf_counter()
+        st, parts = state_box[0], None
+        for i in range(n):
+            st, parts = step(st, *batches[i % 2])
+        float(parts["total"])  # sync through real output bytes
+        state_box[0] = st
+        return time.perf_counter() - t0
+
+    t1 = min(chain(1) for _ in range(2))
+    tn = min(chain(iters + 1) for _ in range(2))
+    per = (tn - t1) / iters
+    log(f"train: {per * 1e3:.2f}ms/step, {batch / per:.1f} images/sec")
+    return batch / per, per * 1e3
 
 
 if __name__ == "__main__":

@@ -107,12 +107,12 @@ def pallas_assignment(
     pred2 = pred.reshape(N, cells, ch).astype(jnp.float32)
     tgt2 = target.reshape(N, cells, ch).astype(jnp.float32)
 
-    # Chunk of images per program (sublane granule 8).  VMEM: two
-    # [CH, cells, ch] inputs + temporaries — at S=14/CH=128 that is ~24 MB
-    # of f32 lanes... in practice the ch->128-lane padding dominates, so
-    # stay at 64 images per program (<= ~13 MB with padding) and clamp to
-    # the actual batch.
-    CH = min(64, -(-N // 8) * 8)
+    # Chunk of images per program (sublane granule 8).  The ch->128-lane
+    # padding dominates VMEM: at CH=64/S=7 (cells=49) the scoped allocation
+    # measures 17.33 MB against the 16 MB limit (hardware Mosaic compile
+    # error), so budget CH*cells <= 32*49 and clamp to the actual batch.
+    CH = max(8, (32 * 49 // cells) // 8 * 8)
+    CH = min(CH, -(-N // 8) * 8)
     pad = (-N) % CH
     if pad:
         pred2 = jnp.concatenate(

@@ -19,16 +19,21 @@ stages into one VMEM program and eliminates the sort entirely:
   candidates can never be selected, so the realized keep-order equals the
   sorted walk's.
 
-Layout: the grid arrives transposed to [N, ch, cells] so the S*S cells ride
-the TPU lane dimension; the B box-slots and the ch channels live on
-sublanes where static indexing is free.  One grid program owns a CHUNK of
-images (batch-parallel — one-image-per-program serializes on the single
-tensor core, the round-1 NMS lesson).
+Layout: everything lives as 2-D [CH, cells] PLANES — one per channel and
+per box slot — with the S*S cells on the TPU lane dimension and the chunk
+of images on sublanes.  The B axis is statically unrolled into per-slot
+plane lists and every reduction is lanes-only (axis=-1).  A first revision
+used [CH, B, cells] tiles with axis=(1, 2) reductions; Mosaic SIGABRTed
+compiling them on real hardware (interpret mode hid it) — the 2-D plane
+form is the layout the batch-parallel NMS kernel already proved compiles
+and wins.  One grid program owns a CHUNK of images (batch-parallel — a
+one-image-per-program grid serializes on the single tensor core).
 
-The kernel returns only the keep mask; boxes/scores/classes for the host
-come from the (fully fused, sort-free) XLA decode — recomputing those
-elementwise values costs nothing next to the conv stack, while sharing the
-kernel's would force extra VMEM outputs.
+The kernel returns only the keep mask, as one [CH, B*cells] plane-major
+block; boxes/scores/classes for the host come from the (fully fused,
+sort-free) XLA decode — recomputing those elementwise values costs nothing
+next to the conv stack, while sharing the kernel's would force extra VMEM
+outputs.
 
 Select with ``nms_impl='fused'`` (eval/voc_map.make_detector); bit-exact
 keep-set vs the two-stage path is pinned by tests/test_fused_decode_nms.py
@@ -59,99 +64,121 @@ def _fused_kernel(
     score_threshold: float,
     iou_threshold: float,
 ):
-    """One chunk: grid [CH, ch, cells] -> keep [CH, B, cells] (0/1 f32)."""
+    """One chunk: grid [CH, ch, cells] -> keep [CH, B*cells] (0/1 f32,
+    plane-major: lanes [b*cells, (b+1)*cells) hold slot b's cells)."""
     CH, ch, cells = grid_ref.shape
-    g = grid_ref[...].astype(jnp.float32)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (CH, 1, cells), 2)
+    def plane(i):  # one [CH, cells] channel plane, f32
+        return grid_ref[:, i, :].astype(jnp.float32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CH, cells), 1)
     colf = (lane % S).astype(jnp.float32)
     rowf = (lane // S).astype(jnp.float32)
     cell_sz = jnp.float32(1.0 / S)
 
-    # Class scores: max prob over the C channels (sublane reduction).
-    best_prob = jnp.max(g[:, 5 * B :, :], axis=1, keepdims=True)  # [CH,1,cells]
+    # Class score: max prob over the C class planes (elementwise tree).
+    best_prob = plane(5 * B)
+    for c in range(1, C):
+        best_prob = jnp.maximum(best_prob, plane(5 * B + c))
 
     # Global max confidence across BOTH slots and all cells (the reference's
-    # argmax fallback mask, utils/utils.py:111-114).
-    conf = g[:, 0:B, :]  # [CH, B, cells]
-    gmax = jnp.max(conf, axis=(1, 2), keepdims=True)  # [CH,1,1]
+    # argmax fallback mask, utils/utils.py:111-114): lanes-only reduction.
+    conf = [plane(b) for b in range(B)]
+    gmax_all = conf[0]
+    for b in range(1, B):
+        gmax_all = jnp.maximum(gmax_all, conf[b])
+    gmax = jnp.max(gmax_all, axis=1, keepdims=True)  # [CH, 1]
 
-    x1s, y1s, x2s, y2s, score_planes, valid_planes = [], [], [], [], [], []
+    x1, y1, x2, y2, scores, valid, area = [], [], [], [], [], [], []
     for b in range(B):
         o = B + 4 * b
-        raw_x = g[:, o : o + 1, :]
-        raw_y = g[:, o + 1 : o + 2, :]
-        half_w = 0.5 * g[:, o + 2 : o + 3, :]
-        half_h = 0.5 * g[:, o + 3 : o + 4, :]
+        raw_x, raw_y = plane(o), plane(o + 1)
+        half_w, half_h = 0.5 * plane(o + 2), 0.5 * plane(o + 3)
         cx = raw_x * cell_sz + colf * cell_sz  # same op order as decode_grid
         cy = raw_y * cell_sz + rowf * cell_sz
-        x1s.append(cx - half_w)
-        y1s.append(cy - half_h)
-        x2s.append(cx + half_w)
-        y2s.append(cy + half_h)
-        conf_b = g[:, b : b + 1, :]
-        score_b = conf_b * best_prob
-        valid_b = jnp.where(
-            ((conf_b > conf_floor) | (conf_b == gmax))
-            & (score_b > score_threshold),
-            1.0,
-            0.0,
+        x1.append(cx - half_w)
+        y1.append(cy - half_h)
+        x2.append(cx + half_w)
+        y2.append(cy + half_h)
+        score_b = conf[b] * best_prob
+        valid.append(
+            jnp.where(
+                ((conf[b] > conf_floor) | (conf[b] == gmax))
+                & (score_b > score_threshold),
+                1.0,
+                0.0,
+            )
         )
-        score_planes.append(score_b)
-        valid_planes.append(valid_b)
-
-    x1 = jnp.concatenate(x1s, axis=1)  # [CH, B, cells]
-    y1 = jnp.concatenate(y1s, axis=1)
-    x2 = jnp.concatenate(x2s, axis=1)
-    y2 = jnp.concatenate(y2s, axis=1)
-    scores = jnp.concatenate(score_planes, axis=1)
-    valid = jnp.concatenate(valid_planes, axis=1)
-    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+        scores.append(score_b)
+        area.append(
+            jnp.maximum(x2[b] - x1[b], 0.0) * jnp.maximum(y2[b] - y1[b], 0.0)
+        )
 
     # Candidate order of the two-stage path: index k = cell*B + b.
-    slot = jax.lax.broadcasted_iota(jnp.int32, (CH, B, cells), 1)
-    cell_idx = jax.lax.broadcasted_iota(jnp.int32, (CH, B, cells), 2)
-    cand_idx = (cell_idx * B + slot).astype(jnp.float32)
+    cand = [(lane * B + b).astype(jnp.float32) for b in range(B)]
 
     K = B * cells
+    neg_inf = -jnp.float32(jnp.inf)
 
     def body(_, state):
-        kept, dead = state  # f32 masks [CH, B, cells]
-        avail = valid * (1.0 - dead)
-        s = jnp.where(avail > 0.0, scores, -jnp.float32(jnp.inf))
-        m = jnp.max(s, axis=(1, 2), keepdims=True)  # [CH,1,1]
-        is_max = jnp.where((s == m) & (avail > 0.0), 1.0, 0.0)
+        kept, dead = state  # tuples of B [CH, cells] f32 masks
+        avail = [valid[b] * (1.0 - dead[b]) for b in range(B)]
+        s = [jnp.where(avail[b] > 0.0, scores[b], neg_inf) for b in range(B)]
+        s_all = s[0]
+        for b in range(1, B):
+            s_all = jnp.maximum(s_all, s[b])
+        m = jnp.max(s_all, axis=1, keepdims=True)  # [CH, 1]
         # First-index tie-break == stable argsort order of the XLA path.
-        idx = jnp.min(
-            jnp.where(is_max > 0.0, cand_idx, _BIG), axis=(1, 2), keepdims=True
-        )
-        sel = jnp.where((cand_idx == idx) & (idx < _BIG), 1.0, 0.0)
+        idx_all = None
+        for b in range(B):
+            is_max_b = (s[b] == m) & (avail[b] > 0.0)
+            cand_b = jnp.where(is_max_b, cand[b], _BIG)
+            idx_all = cand_b if idx_all is None else jnp.minimum(idx_all, cand_b)
+        idx = jnp.min(idx_all, axis=1, keepdims=True)  # [CH, 1]
+        sel = [
+            jnp.where((cand[b] == idx) & (idx < _BIG), 1.0, 0.0)
+            for b in range(B)
+        ]
 
-        # Selected box via one-hot reductions (no dynamic lane indexing).
-        bx1 = jnp.sum(x1 * sel, axis=(1, 2), keepdims=True)
-        by1 = jnp.sum(y1 * sel, axis=(1, 2), keepdims=True)
-        bx2 = jnp.sum(x2 * sel, axis=(1, 2), keepdims=True)
-        by2 = jnp.sum(y2 * sel, axis=(1, 2), keepdims=True)
-        barea = jnp.sum(area * sel, axis=(1, 2), keepdims=True)
+        # Selected box via one-hot lane reductions (no dynamic indexing).
+        def pick(planes):
+            acc = jnp.zeros((CH, 1), jnp.float32)
+            for b in range(B):
+                acc = acc + jnp.sum(
+                    planes[b] * sel[b], axis=1, keepdims=True
+                )
+            return acc  # [CH, 1]
 
-        iw = jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0)
-        ih = jnp.maximum(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0)
-        inter = iw * ih
-        union = area + barea - inter
-        iou = jnp.where(union > 0, inter / jnp.where(union > 0, union, 1.0), 0.0)
+        bx1, by1, bx2, by2 = pick(x1), pick(y1), pick(x2), pick(y2)
+        barea = pick(area)
+        any_sel = pick(sel)  # 1.0 where a candidate was selected, else 0.0
 
-        # A no-selection step has a (0,0,0,0) box: inter = 0, iou = 0 — no
-        # spurious suppression, so no extra guard is needed.
-        suppress = jnp.where(iou > iou_threshold, 1.0, 0.0) * sel.max(
-            axis=(1, 2), keepdims=True
-        )
-        kept = jnp.maximum(kept, sel)
-        dead = jnp.maximum(dead, jnp.maximum(sel, suppress))
-        return kept, dead
+        new_kept, new_dead = [], []
+        for b in range(B):
+            iw = jnp.maximum(
+                jnp.minimum(x2[b], bx2) - jnp.maximum(x1[b], bx1), 0.0
+            )
+            ih = jnp.maximum(
+                jnp.minimum(y2[b], by2) - jnp.maximum(y1[b], by1), 0.0
+            )
+            inter = iw * ih
+            union = area[b] + barea - inter
+            iou = jnp.where(
+                union > 0, inter / jnp.where(union > 0, union, 1.0), 0.0
+            )
+            # A no-selection step has a (0,0,0,0) box: inter = 0, iou = 0 —
+            # no spurious suppression, so no extra guard is needed.
+            suppress = jnp.where(iou > iou_threshold, 1.0, 0.0) * any_sel
+            new_kept.append(jnp.maximum(kept[b], sel[b]))
+            new_dead.append(
+                jnp.maximum(dead[b], jnp.maximum(sel[b], suppress))
+            )
+        return tuple(new_kept), tuple(new_dead)
 
-    zero = jnp.zeros((CH, B, cells), jnp.float32)
-    kept, _ = jax.lax.fori_loop(0, K, body, (zero, zero))
-    keep_ref[...] = kept
+    zeros = tuple(jnp.zeros((CH, cells), jnp.float32) for _ in range(B))
+    kept, _ = jax.lax.fori_loop(0, K, body, (zeros, zeros))
+    for b in range(B):  # static lane slices: plane-major output layout
+        keep_ref[:, b * cells : (b + 1) * cells] = kept[b]
 
 
 @functools.partial(
@@ -209,10 +236,15 @@ def pallas_fused_decode_nms(
             pl.BlockSpec((CH, ch, cells), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((CH, B, cells), lambda n: (n, 0, 0),
+        out_specs=pl.BlockSpec((CH, B * cells), lambda n: (n, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NP, B, cells), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NP, B * cells), jnp.float32),
         interpret=interpret,
     )(grid_t)
-    # [N, B, cells] -> [N, K] in decode order (k = cell*B + b).
-    return jnp.transpose(keep[:N], (0, 2, 1)).reshape(N, cells * B) > 0.5
+    # Plane-major [N, B*cells] -> [N, K] in decode order (k = cell*B + b).
+    return (
+        jnp.transpose(keep[:N].reshape(N, B, cells), (0, 2, 1)).reshape(
+            N, cells * B
+        )
+        > 0.5
+    )
