@@ -166,3 +166,48 @@ def test_blur_sharpen_ops_active_and_deterministic(rng):
     # Pixel ops never move boxes.
     want = np.asarray(encode_targets(boxes, labels, counts, S=7))
     np.testing.assert_allclose(np.asarray(a[1]), want, atol=1e-4)
+
+
+def test_someof_mask_matches_imgaug_distribution():
+    """The pixel family's activation draw is SomeOf(1..3): per gated sample
+    a count n ~ Uniform{1,2,3} of DISTINCT ops (reference policy,
+    YOLODataLoader.py:34).  Pins the realized op-count distribution — the
+    round-1 build used 9 independent p=0.2 coin flips (~13% zero-op, ~9%
+    4+-op samples), which this distribution-level test would reject."""
+    from yolo_v1_tpu.data.device_augment import someof_mask
+
+    draws = jax.vmap(lambda k: someof_mask(k, 9))(
+        jax.random.split(jax.random.PRNGKey(0), 3000)
+    )
+    counts = np.asarray(jnp.sum(draws, axis=1))
+    # Exactly 1..3 ops, never 0, never 4+.
+    assert counts.min() == 1 and counts.max() == 3
+    # Count is uniform over {1,2,3} (3000 draws: ~1000 each, +-4 sigma).
+    for c in (1, 2, 3):
+        assert abs((counts == c).mean() - 1 / 3) < 0.035, (c, counts.mean())
+    # Each op's marginal activation is E[n]/9 = 2/9.
+    marg = np.asarray(draws.mean(axis=0))
+    np.testing.assert_allclose(marg, 2 / 9, atol=0.03)
+
+
+def test_device_resident_loader_matches_device_augmented(voc_tree):
+    """The HBM-resident loader must yield BIT-IDENTICAL batches to the
+    per-batch-upload loader: same shuffle stream, same per-(epoch, batch)
+    keys, same augment program — only the feed path differs."""
+    from yolo_v1_tpu.data.pipeline import (
+        DeviceAugmentedLoader, DeviceResidentLoader, PipelineConfig,
+        YoloDataset,
+    )
+
+    cfg = PipelineConfig(image_size=112, S=7)
+    ds = YoloDataset(voc_tree[0], train=False, config=cfg)
+    dal = DeviceAugmentedLoader(ds, batch_size=4)
+    drl = DeviceResidentLoader(ds, batch_size=4, upload_chunk=3)
+    assert len(dal) == len(drl)
+    for epoch in (0, 5):
+        n = 0
+        for (i1, t1), (i2, t2) in zip(dal.epoch(epoch), drl.epoch(epoch)):
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+            np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+            n += 1
+        assert n == len(dal)

@@ -108,6 +108,67 @@ def test_train_step_sharded_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_train_step_hybrid_replica_mesh_matches_single_device():
+    """Multi-slice layout: batch sharded jointly over ('replica', 'data')
+    (replica = the DCN axis between slices).  data_sharding resolves the
+    joint spec transparently, so jit_train_step needs no changes — and one
+    update must match the single-device numbers."""
+    mesh = make_mesh(axis_names=("replica", "data"), shape=(2, 4))
+    state1, images, targets = _tiny_setup()
+    state8, _, _ = _tiny_setup()
+
+    step1 = jit_train_step(YoloV1LossConfig(S=7))
+    step8 = jit_train_step(YoloV1LossConfig(S=7), mesh)
+
+    im8, tg8 = shard_batch(mesh, images, targets)
+    assert im8.sharding.spec == jax.sharding.PartitionSpec(("replica", "data"))
+    state1, parts1 = step1(state1, jnp.asarray(images), jnp.asarray(targets))
+    state8, parts8 = step8(state8, im8, tg8)
+    np.testing.assert_allclose(
+        float(parts1["total"]), float(parts8["total"]), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree.leaves(state1.params), jax.tree.leaves(state8.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_train_step_data_space_sharded_matches_single_device():
+    """2-D data x space mesh: image HEIGHT sharded over 'space' forces XLA
+    SPMD to insert conv halo exchanges; the step must still reproduce the
+    single-device update (halo-exchange correctness, not just finiteness)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from yolo_v1_tpu.train.loop import make_train_step
+
+    mesh = make_mesh(axis_names=("data", "space"), shape=(4, 2))
+    state1, images, targets = _tiny_setup()
+    state8, _, _ = _tiny_setup()
+
+    step1 = jit_train_step(YoloV1LossConfig(S=7))
+    repl = NamedSharding(mesh, P())
+    img_sh = NamedSharding(mesh, P("data", "space"))
+    tgt_sh = NamedSharding(mesh, P("data"))
+    step8 = jax.jit(
+        make_train_step(YoloV1LossConfig(S=7)),
+        in_shardings=(repl, img_sh, tgt_sh),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+    im8 = jax.device_put(images, img_sh)
+    tg8 = jax.device_put(targets, tgt_sh)
+    state1, parts1 = step1(state1, jnp.asarray(images), jnp.asarray(targets))
+    state8, parts8 = step8(state8, im8, tg8)
+    np.testing.assert_allclose(
+        float(parts1["total"]), float(parts8["total"]), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree.leaves(state1.params), jax.tree.leaves(state8.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_fit_smoke(tmp_path):
     """fit() runs epochs, logs metrics, returns decreasing epoch losses."""
     from yolo_v1_tpu.train.metrics import MetricWriter

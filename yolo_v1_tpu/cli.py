@@ -87,7 +87,30 @@ def cmd_train(argv: list[str]) -> int:
     writer = MetricWriter(save_dir, logger=logger, resume=cfg.resume)
     pipe_cfg = _pipeline_config(cfg)
 
-    if cfg.device_augment:
+    mesh = None
+    if len(jax.devices()) > 1 and not cfg.device_resident:
+        # All devices, always: batches that don't divide the mesh are padded
+        # with loss-masked rows (train/loop) or trimmed detector outputs
+        # (eval), so no chip idles on awkward batch sizes.
+        mesh = make_mesh(len(jax.devices()))
+        logger.info(
+            "data-parallel mesh over %d devices", len(jax.devices())
+        )
+    elif len(jax.devices()) > 1:
+        logger.warning(
+            "device_resident is single-device; ignoring %d extra devices",
+            len(jax.devices()) - 1,
+        )
+
+    if cfg.device_resident:
+        from yolo_v1_tpu.data.pipeline import DeviceResidentLoader
+
+        train_ds = YoloDataset(
+            cfg.train_list, train=False, config=pipe_cfg,
+            little_train=cfg.little_train,
+        )
+        loader = DeviceResidentLoader(train_ds, cfg.batch_size, logger=logger)
+    elif cfg.device_augment:
         from yolo_v1_tpu.data.pipeline import DeviceAugmentedLoader
 
         train_ds = YoloDataset(
@@ -104,16 +127,6 @@ def cmd_train(argv: list[str]) -> int:
     logger.info("the dataset has %d images", len(train_ds))
     logger.info("the batch_size is %d", cfg.batch_size)
 
-    mesh = None
-    if len(jax.devices()) > 1:
-        # All devices, always: batches that don't divide the mesh are padded
-        # with loss-masked rows (train/loop) or trimmed detector outputs
-        # (eval), so no chip idles on awkward batch sizes.
-        mesh = make_mesh(len(jax.devices()))
-        logger.info(
-            "data-parallel mesh over %d devices", len(jax.devices())
-        )
-
     evaluator = None
     if cfg.test_list:
         test_ds = YoloDataset(cfg.test_list, train=False, config=pipe_cfg)
@@ -127,6 +140,7 @@ def cmd_train(argv: list[str]) -> int:
             nms_threshold=cfg.nms_threshold,
             nms_impl=cfg.nms_impl,
             mesh=mesh,
+            device_cache=cfg.device_resident,
             logger=logger,
         )
 

@@ -53,6 +53,11 @@ class ExperimentConfig:
     # Cache decoded+resized uint8 images in host RAM after first touch
     # (VOC-scale data is ~9 GB; indispensable on core-starved hosts).
     cache_images: bool = False
+    # Upload the whole uint8 dataset (train + eval) to device HBM once and
+    # assemble batches on-chip (gather + augment + encode, one jit); per
+    # step only a [bs] index vector crosses the host->device link.  Implies
+    # the device_augment path; single-device only.
+    device_resident: bool = False
 
     # eval (train.py:127, utils/utils.py:405)
     little_val: int = 750

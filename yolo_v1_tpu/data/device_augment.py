@@ -14,12 +14,13 @@ Families reproduced (probabilities mirror AugmentConfig / the imgaug policy):
 * 50%-gated affine (scale 0.8-1.2/axis, translate ±10%, rotate ±5°) as an
   inverse-mapped bilinear warp (jax.scipy.ndimage.map_coordinates) with the
   axis-aligned-hull box transform and out-of-image removal (:69-76, :172);
-* 25%-gated pixel ops: additive gaussian noise, elementwise add, global and
-  elementwise multiply, dropout, salt&pepper replace, HSV saturation/value
-  shift, gaussian blur (separable depthwise conv) and sharpen
-  (unsharp-mask) (:34-64).  Only JPEG-compression artifacts stay host-only
-  (bitstream codecs don't belong on a TPU) — the host pipeline
-  (data/augment.py) keeps the full family.
+* 25%-gated pixel ops with the reference's SomeOf(1..3) draw (a uniform
+  count of distinct ops per gated sample, ``someof_mask``): additive
+  gaussian noise, elementwise add, global and elementwise multiply,
+  dropout, salt&pepper replace, HSV saturation/value shift, gaussian blur
+  (separable depthwise conv) and sharpen (unsharp-mask) (:34-64).  Only
+  JPEG-compression artifacts stay host-only (bitstream codecs don't belong
+  on a TPU) — the host pipeline (data/augment.py) keeps the full family.
 
 Everything is fixed-shape and key-driven: sample k of batch n at epoch e is
 reproducible from fold_in(key, e*N+n).
@@ -32,6 +33,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 from yolo_v1_tpu.core.grid import encode_targets
@@ -85,9 +87,19 @@ def hsv_to_rgb(hsv: Array) -> Array:
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+
+    # Elementwise select chain instead of jnp.choose: choose lowers to a
+    # per-pixel gather that measures 314 ms per 32-image batch on v5e; five
+    # selects are ~3 ms.  Values are identical for i in [0, 5].
+    def pick(opts):
+        out = opts[5]
+        for idx in range(4, -1, -1):
+            out = jnp.where(i == idx, opts[idx], out)
+        return out
+
+    r = pick([v, q, p, p, t, v])
+    g = pick([t, v, v, q, p, p])
+    b = pick([p, p, t, v, v, q])
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -119,21 +131,41 @@ def _affine_params(key: Array, size: int, cfg: DeviceAugmentConfig):
 
 
 def _warp_image(img: Array, rs: Array, offset: Array) -> Array:
-    """Inverse-map bilinear warp: out(p) = img(A^-1 (p - offset))."""
+    """Inverse-map bilinear warp: out(p) = img(A^-1 (p - offset)).
+
+    Out-of-image taps contribute 0 (map_coordinates order=1/'constant'
+    semantics).  Implemented as ONE row gather of the [H*W, C] flattened
+    image over all 4 bilinear corners — gathering C-channel rows keeps the
+    minor dimension contiguous, where a per-channel map_coordinates lowers
+    to 3x4 scalar-element gathers (measured 4.4x slower end to end on v5e).
+    """
     size = img.shape[0]
     inv = jnp.linalg.inv(rs)
     ys, xs = jnp.meshgrid(jnp.arange(size), jnp.arange(size), indexing="ij")
     pts = jnp.stack([xs.ravel(), ys.ravel()], axis=0).astype(jnp.float32)
     src = inv @ (pts - offset[:, None])  # [2, size*size] (x, y)
-    coords = jnp.stack([src[1], src[0]], axis=0)  # map_coordinates wants (row, col)
-    warped = jax.vmap(
-        lambda ch: jax.scipy.ndimage.map_coordinates(
-            ch, coords, order=1, mode="constant", cval=0.0
-        ).reshape(size, size),
-        in_axes=-1,
-        out_axes=-1,
-    )(img)
-    return warped
+    sx, sy = src[0], src[1]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx, fy = sx - x0, sy - y0
+    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+
+    flat = img.reshape(size * size, -1)  # [P, C]
+    idxs, weights = [], []
+    for dy, wy in ((0, 1.0 - fy), (1, fy)):
+        yi = y0i + dy
+        yok = (yi >= 0) & (yi < size)
+        for dx, wx in ((0, 1.0 - fx), (1, fx)):
+            xi = x0i + dx
+            ok = yok & (xi >= 0) & (xi < size)
+            idxs.append(
+                jnp.clip(yi, 0, size - 1) * size + jnp.clip(xi, 0, size - 1)
+            )
+            weights.append(jnp.where(ok, wy * wx, 0.0))
+    taps = jnp.take(flat, jnp.concatenate(idxs), axis=0)  # [4P, C]
+    taps = taps.reshape(4, size * size, -1)
+    w = jnp.stack(weights)[:, :, None]  # [4, P, 1]
+    return jnp.sum(taps * w, axis=0).reshape(size, size, -1)
 
 
 def _transform_boxes_affine(xyxy: Array, rs: Array, offset: Array) -> Array:
@@ -150,40 +182,59 @@ def _transform_boxes_affine(xyxy: Array, rs: Array, offset: Array) -> Array:
 
 
 def _gaussian_blur(img: Array, sigma: Array, radius: int = 11) -> Array:
-    """Separable gaussian blur via two depthwise 1-D convs (HWC image).
+    """Separable gaussian blur as two banded-matrix matmuls (HWC image).
 
-    ``sigma`` may be traced (the kernel is built from a fixed taps grid);
-    ``radius`` must cover ~3 sigma of the largest sigma used (default 11
-    covers the imgaug policy's sigma 3.5).  Borders use reflect padding —
-    zero padding would renormalize mass off-image and darken a
+    ``sigma`` may be traced (the band weights are built from a fixed taps
+    grid); ``radius`` must cover ~3 sigma of the largest sigma used
+    (default 11 covers the imgaug policy's sigma 3.5).  Borders use reflect
+    semantics — zero padding would renormalize mass off-image and darken a
     radius-wide frame on every blurred sample.
+
+    Why matmuls: a 1-channel depthwise conv runs on the TPU's VPU at
+    terrible utilization; folding the taps into a [size, size] banded
+    matrix turns each pass into a dense matmul the MXU eats (~1 GFLOP per
+    448px image).  The band is built elementwise from an iota grid — the
+    reflect fold adds the tap weight at |row - col| offsets mapped back
+    into range, exactly matching a reflect-padded conv.
     """
+    size = img.shape[0]
+    assert img.shape[1] == size, "square images only"
     taps = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     k = jnp.exp(-0.5 * (taps / jnp.maximum(sigma, 1e-3)) ** 2)
     k = k / jnp.sum(k)
-    padded = jnp.pad(
-        img, ((radius, radius), (radius, radius), (0, 0)), mode="reflect"
-    )
-    x = padded.transpose(2, 0, 1)[:, None]  # [3, 1, H+2r, W+2r]
-    kh = k.reshape(1, 1, 1, 2 * radius + 1)
-    kv = k.reshape(1, 1, 2 * radius + 1, 1)
-    dn = ("NCHW", "OIHW", "NCHW")
-    x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), [(0, 0), (0, 0)], dimension_numbers=dn
-    )
-    x = jax.lax.conv_general_dilated(
-        x, kv, (1, 1), [(0, 0), (0, 0)], dimension_numbers=dn
-    )
-    return x[:, 0].transpose(1, 2, 0)
+
+    src_i = jnp.arange(size)[None, :]  # source position (band column)
+    band = jnp.zeros((size, size), jnp.float32)
+    for t in range(-radius, radius + 1):
+        # Source index u+t under reflect (mirror excluding the edge sample):
+        # band[u, i] += k[t]  where  i == reflect(u + t).
+        j = np.arange(size) + t
+        j = np.where(j < 0, -j, j)
+        j = np.where(j >= size, 2 * (size - 1) - j, j)
+        band = band + k[t + radius] * (src_i == jnp.asarray(j)[:, None])
+    # band[u, i]: weight of source row/col i in output u.
+    x = jnp.einsum("uh,hwc->uwc", band, img)
+    return jnp.einsum("vw,uwc->uvc", band, x)
+
+
+def someof_mask(key: Array, n_ops: int, lo: int = 1, hi: int = 3) -> Array:
+    """imgaug ``SomeOf((lo, hi))`` activation mask: a count n drawn uniformly
+    from [lo, hi], then n DISTINCT ops chosen uniformly (the first n slots of
+    a random permutation).  Matches the reference policy's draw exactly
+    (YOLODataLoader.py:34) — ops apply in module order rather than imgaug's
+    list order, which is the one (documented) divergence left."""
+    k_n, k_perm = jax.random.split(key)
+    n = jax.random.randint(k_n, (), lo, hi + 1)
+    return jax.random.permutation(k_perm, n_ops) < n
 
 
 def _pixel_ops(key: Array, img: Array, cfg: DeviceAugmentConfig) -> Array:
     """Gated pixel family on a [H,W,3] float image in [0,1]."""
     keys = jax.random.split(key, 15)
     gate = jax.random.uniform(keys[0]) < cfg.pixel_prob
-    # Independently coin-flip each op inside the gate (the reference draws
-    # SomeOf(1..3) of 10; expected ~2 active — we use p=0.2 per op).
-    act = jax.random.uniform(keys[1], (9,)) < 0.2
+    # SomeOf(1..3) of the 9 on-device ops (the reference draws over 10;
+    # JPEG artifacts stay host-only).
+    act = someof_mask(keys[1], 9)
 
     out = img
     # additive gaussian noise
@@ -326,3 +377,30 @@ def augment_and_encode_batch(
         safe_boxes, labels, jnp.full((N,), M, jnp.int32), S=S, B=B, C=C
     )
     return imgs, targets
+
+
+@partial(jax.jit, static_argnames=("S", "B", "C", "cfg"))
+def gather_augment_encode(
+    key: Array,
+    images_all: Array,  # [D, H, W, 3] uint8, device-resident dataset
+    boxes_all: Array,  # [D, M, 4]
+    labels_all: Array,  # [D, M]
+    counts_all: Array,  # [D]
+    idx: Array,  # [N] int32 batch indices — the only per-step host input
+    S: int,
+    B: int = 2,
+    C: int = 20,
+    cfg: DeviceAugmentConfig = DeviceAugmentConfig(),
+) -> tuple[Array, Array]:
+    """Device-resident batch assembly: gather ``idx`` rows from the
+    HBM-resident dataset tensors (an on-chip row gather — microseconds at
+    HBM bandwidth), then augment + normalize + encode, one jitted program.
+    Per step only the [N] index vector crosses the host->device link."""
+    return augment_and_encode_batch(
+        key,
+        jnp.take(images_all, idx, axis=0),
+        jnp.take(boxes_all, idx, axis=0),
+        jnp.take(labels_all, idx, axis=0),
+        jnp.take(counts_all, idx, axis=0),
+        S=S, B=B, C=C, cfg=cfg,
+    )

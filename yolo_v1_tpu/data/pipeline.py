@@ -183,6 +183,106 @@ class DeviceAugmentedLoader:
             )
 
 
+class DeviceResidentLoader:
+    """Whole-dataset-in-HBM loader: decoded uint8 images + padded GT upload
+    to the accelerator ONCE; per batch only a [bs] int32 index vector
+    crosses the host->device link, and gather + augment + normalize +
+    encode run as one jitted program
+    (data/device_augment.gather_augment_encode).
+
+    Rationale (measured on the dev relay, DESIGN.md): H2D runs ~20 MB/s, so
+    a 19 MB uint8 batch costs ~1 s against a 57 ms train step; resident
+    data drops the per-step feed to a few hundred index bytes.  The shape
+    is equally right for production TPU hosts — VOC at 448px uint8 is
+    ~9 GB, a fraction of one v5e's HBM, and host decode drops out of the
+    throughput equation after epoch one.
+
+    Single-device only (the dataset tensors live unsharded on the default
+    device); pair with ``mesh=None``.  Construct over a
+    ``YoloDataset(train=False)`` like DeviceAugmentedLoader.
+    """
+
+    def __init__(
+        self,
+        dataset: "YoloDataset",
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        augment_config=None,
+        upload_chunk: int = 512,
+        logger=None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from yolo_v1_tpu.data.device_augment import DeviceAugmentConfig
+
+        assert not dataset.train, (
+            "use a train=False dataset; augmentation happens on device"
+        )
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.augment_config = augment_config or DeviceAugmentConfig()
+
+        n = len(dataset)
+        cfg = dataset.config
+        boxes = np.zeros((n, MAX_BOXES, 4), np.float32)
+        labels = np.zeros((n, MAX_BOXES), np.int32)
+        counts = np.zeros((n,), np.int32)
+        parts = []
+        chunk = np.empty(
+            (min(upload_chunk, n), cfg.image_size, cfg.image_size, 3), np.uint8
+        )
+        for start in range(0, n, upload_chunk):
+            m = min(upload_chunk, n - start)
+            for i in range(m):
+                img, b, l = dataset.load_raw(start + i)
+                chunk[i] = img
+                k = min(len(b), MAX_BOXES)
+                boxes[start + i, :k] = b[:k]
+                labels[start + i, :k] = l[:k]
+                counts[start + i] = k
+            parts.append(jax.device_put(np.ascontiguousarray(chunk[:m])))
+            if logger:
+                logger.info(
+                    "device-resident upload: %d / %d images", start + m, n
+                )
+        self._images = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        del parts
+        self._boxes = jax.device_put(boxes)
+        self._labels = jax.device_put(labels)
+        self._counts = jax.device_put(counts)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        from yolo_v1_tpu.data.device_augment import gather_augment_encode
+
+        cfg = self.dataset.config
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(
+                np.random.SeedSequence([cfg.seed, epoch, 7919])
+            ).shuffle(order)
+        for bi in range(len(self)):
+            idx = order[bi * self.batch_size : (bi + 1) * self.batch_size]
+            key = jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch), bi
+            )
+            yield gather_augment_encode(
+                key, self._images, self._boxes, self._labels, self._counts,
+                jnp.asarray(idx, jnp.int32),
+                S=cfg.S, B=cfg.B, C=cfg.C, cfg=self.augment_config,
+            )
+
+
 class BatchLoader:
     """Shuffling, prefetching batch iterator yielding (images, targets).
 

@@ -150,6 +150,7 @@ class VocEvaluator:
         use_07_metric: bool = False,  # reference default: continuous AP
         eval_image_size: int = 448,
         mesh=None,
+        device_cache: bool = False,
         logger=None,
     ):
         self.dataset = dataset
@@ -168,6 +169,14 @@ class VocEvaluator:
             max_workers=max(dataset.config.num_workers, 2)
         )
         self.mesh = mesh
+        # With device_cache, every (padded) eval batch is uploaded ONCE and
+        # reused across epochs — the test set is fixed, so after the first
+        # eval the feed costs zero H2D bytes (the dev relay moves ~20 MB/s,
+        # making the per-epoch 460 MB re-upload the eval bottleneck).
+        # Single-device only, like DeviceResidentLoader.
+        self._device_cache: dict | None = (
+            {} if (device_cache and mesh is None) else None
+        )
         # The compiled batch shape must divide the mesh; round up and let
         # the host-side trim (below) drop the padded rows' detections.
         n_mesh = mesh.devices.size if mesh is not None else 1
@@ -204,18 +213,30 @@ class VocEvaluator:
         # eval loop is fully serial per image, utils/utils.py:394-405).
         pending = self._pool.submit(self._load_batch, 0, n)
         for start in range(0, n, bs):
-            images, ids = pending.result()
-            if start + bs < n:
-                pending = self._pool.submit(self._load_batch, start + bs, n)
-            if images.shape[0] < self._device_bs:  # one compiled shape
-                pad = self._device_bs - images.shape[0]
-                images = np.concatenate([images, np.zeros_like(images[:1]).repeat(pad, 0)])
-            if self.mesh is not None:
-                from yolo_v1_tpu.parallel.mesh import shard_batch
-
-                device_images = shard_batch(self.mesh, images)
+            cache_key = (start, min(start + bs, n))
+            if self._device_cache is not None and cache_key in self._device_cache:
+                pending = None
+                device_images, ids = self._device_cache[cache_key]
             else:
-                device_images = jnp.asarray(images)
+                if pending is None:
+                    pending = self._pool.submit(self._load_batch, start, n)
+                images, ids = pending.result()
+                pending = None
+                if images.shape[0] < self._device_bs:  # one compiled shape
+                    pad = self._device_bs - images.shape[0]
+                    images = np.concatenate(
+                        [images, np.zeros_like(images[:1]).repeat(pad, 0)]
+                    )
+                if self.mesh is not None:
+                    from yolo_v1_tpu.parallel.mesh import shard_batch
+
+                    device_images = shard_batch(self.mesh, images)
+                else:
+                    device_images = jnp.asarray(images)
+                if self._device_cache is not None:
+                    self._device_cache[cache_key] = (device_images, ids)
+            if start + bs < n and self._device_cache is None:
+                pending = self._pool.submit(self._load_batch, start + bs, n)
             boxes, scores, classes, keep = jax.tree.map(
                 np.asarray, self.detector(state, device_images)
             )

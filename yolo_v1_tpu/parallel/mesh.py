@@ -10,10 +10,17 @@ identically on one chip, a v5e pod slice, or N virtual CPU devices
 behavior is tested without hardware (SURVEY.md §4).
 
 Axes:
-  * ``data``  — batch dimension (DP).  Always present.
-  * ``model`` — optional second axis reserved for spatial/model sharding of
-    the conv activations (SURVEY.md §5 notes this is optional for parity;
-    the 448px activations fit one chip comfortably).
+  * ``data``    — batch dimension (DP).  Always present.
+  * ``replica`` — optional LEADING axis for multi-slice scale-out: slices
+    talk over DCN, so only the (bandwidth-light, latency-tolerant)
+    gradient all-reduce crosses it while everything else stays on ICI.
+    The batch shards over ``('replica', 'data')`` jointly —
+    ``data_sharding`` handles this transparently, so the trainer/eval
+    paths are hybrid-mesh capable without changes.
+  * ``space``   — optional trailing axis for spatial sharding of the conv
+    activations (image height; XLA SPMD inserts the halo exchanges).
+    Optional for parity — the 448px activations fit one chip comfortably
+    (SURVEY.md §5); it exists for scale-out headroom.
 """
 
 from __future__ import annotations
@@ -27,28 +34,43 @@ def make_mesh(
     n_devices: int | None = None,
     axis_names: tuple[str, ...] = ("data",),
     devices=None,
+    shape: tuple[int, ...] | None = None,
 ) -> Mesh:
     """Create a mesh over the first ``n_devices`` devices.
 
-    With the default single axis, all devices go to data parallelism.  With
-    two axes ``('data', 'model')``, pass ``n_devices`` as a tuple via
-    ``devices`` reshaping instead.
+    With the default single axis, all devices go to data parallelism.  For
+    multi-axis meshes pass ``shape`` (one size per axis, e.g.
+    ``axis_names=('replica', 'data'), shape=(2, 4)``); device order follows
+    ``jax.devices()``, so the fastest-varying (trailing) axis lands on the
+    most-local devices — put the DCN 'replica' axis first.
     """
     if devices is None:
         devices = jax.devices()
+    if shape is not None:
+        if len(shape) != len(axis_names):
+            raise ValueError(f"shape {shape} vs axes {axis_names}")
+        n_devices = int(np.prod(shape))
+        return Mesh(
+            np.asarray(devices[:n_devices]).reshape(shape), axis_names
+        )
     if n_devices is None:
         n_devices = len(devices)
     devs = np.asarray(devices[:n_devices])
     if len(axis_names) == 1:
         return Mesh(devs, axis_names)
     # Put everything on the leading axis; trailing axes get size 1 unless the
-    # caller reshapes explicitly.
-    shape = (n_devices,) + (1,) * (len(axis_names) - 1)
-    return Mesh(devs.reshape(shape), axis_names)
+    # caller passes ``shape``.
+    return Mesh(
+        devs.reshape((n_devices,) + (1,) * (len(axis_names) - 1)), axis_names
+    )
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dimension over the 'data' axis."""
+    """Shard the leading (batch) dimension over the data-parallel axes —
+    jointly over ('replica', 'data') on a multi-slice hybrid mesh, so every
+    trainer/eval path scales across slices without changes."""
+    if "replica" in mesh.axis_names:
+        return NamedSharding(mesh, P(("replica", "data")))
     return NamedSharding(mesh, P("data"))
 
 
