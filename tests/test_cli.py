@@ -118,3 +118,30 @@ def test_config_rejects_bad_impl():
         ExperimentConfig(nms_impl="palas")
     with pytest.raises(ValueError):
         ExperimentConfig(assignment_impl="Pallas")
+
+
+def test_cli_map_and_predict_int8(voc_tree, tmp_path, capsys):
+    """--int8 true quantizes the serving forward (calibrate + W8A8 convs)
+    for both the standalone mAP runner and the JSON predictor."""
+    import json
+
+    list_file, _ = voc_tree
+    rc = cli.main(
+        ["map", "--backbone", "tiny", "--S", "7", "--image_size", "112",
+         "--test_list", list_file, "--eval_batch_size", "8",
+         "--bf16", "false", "--int8", "true",
+         "--save_dir", str(tmp_path / "q")]
+    )
+    assert rc == 0
+    assert "mAP:" in capsys.readouterr().out
+
+    rc = cli.main(
+        ["predict", "--input", list_file, "--backbone", "tiny", "--S", "7",
+         "--image_size", "112", "--eval_batch_size", "8",
+         "--score_threshold", "0.02", "--bf16", "false", "--int8", "true",
+         "--save_dir", str(tmp_path / "q")]
+    )
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == 8
+    assert "detections" in json.loads(lines[0])

@@ -1,0 +1,112 @@
+"""int8 serving-path quantization tests (eval/quantize.py).
+
+Mechanical exactness: with conv weights that are exact int8-scale
+multiples and inputs on the activation-scale lattice, the int8 path must
+reproduce the f32 conv bit-for-bit.  Fidelity: on a real (randomly
+initialized) model the quantized logits must track f32 closely, and the
+quantized state must drive the unchanged detector."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_v1_tpu.eval.quantize import calibrate, quantize_state
+from yolo_v1_tpu.models.registry import build_model
+from yolo_v1_tpu.train.state import TrainState
+
+
+def _state(model):
+    images = jnp.zeros((2, 112, 112, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), images, train=False)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=None,
+        opt_state=None,
+    )
+
+
+def test_quantized_conv_exact_on_lattice():
+    """Weights already on the int8 grid + inputs on the activation lattice
+    -> quantization is lossless and the int8 path equals f32 exactly."""
+    from flax import linen as nn
+
+    class OneConv(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Conv(
+                8, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                name="conv",
+            )(x)
+
+    model = OneConv()
+    x0 = jnp.zeros((1, 8, 8, 4), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0)
+    rng = np.random.default_rng(0)
+    # Integer weights with every output channel's max pinned at 127, so the
+    # per-channel scale is exactly 1.0 and w quantizes losslessly.
+    w = rng.integers(-127, 128, (3, 3, 4, 8)).astype(np.float32)
+    w[0, 0, 0, :] = 127.0
+    params = {"conv": {"kernel": jnp.asarray(w)}}
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), apply_fn=model.apply, params=params,
+        batch_stats={}, tx=None, opt_state=None,
+    )
+    # Input amax 127 -> s_x = 1.0 -> integer inputs are exactly on-lattice.
+    xi = rng.integers(-127, 128, (1, 8, 8, 4)).astype(np.float32)
+    qstate = quantize_state(state, {"conv": 127.0})
+    want = model.apply({"params": params, "batch_stats": {}}, jnp.asarray(xi))
+    got = qstate.apply_fn(
+        {"params": qstate.params, "batch_stats": {}}, jnp.asarray(xi)
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("name", ["tiny"])
+def test_quantized_forward_tracks_f32(name):
+    model = build_model(name, S=7)
+    state = _state(model)
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(
+        rng.normal(0, 1, (2, 112, 112, 3)).astype(np.float32)
+    )
+    amax = calibrate(state, [images])
+    assert amax and all(v > 0 for v in amax.values())
+    qstate = quantize_state(state, amax)
+
+    want = np.asarray(
+        state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False,
+        )
+    )
+    got = np.asarray(
+        qstate.apply_fn(
+            {"params": qstate.params, "batch_stats": qstate.batch_stats},
+            images, train=False,
+        )
+    )
+    assert got.shape == want.shape
+    # Post-sigmoid grids: int8 rounding noise stays small and correlated.
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert corr > 0.995, corr
+    assert np.abs(got - want).mean() < 0.02
+
+
+def test_quantized_state_drives_detector_and_evaluator():
+    from yolo_v1_tpu.eval.voc_map import make_detector
+
+    model = build_model("tiny", S=7)
+    state = _state(model)
+    images = jnp.asarray(
+        np.random.default_rng(2).normal(0, 1, (2, 112, 112, 3)).astype(
+            np.float32
+        )
+    )
+    qstate = quantize_state(state, calibrate(state, [images]))
+    detector = make_detector(S=7)
+    boxes, scores, classes, keep = detector(qstate, images)
+    assert boxes.shape == (2, 98, 4) and keep.dtype == jnp.bool_

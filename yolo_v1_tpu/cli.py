@@ -181,6 +181,19 @@ def cmd_train(argv: list[str]) -> int:
     return 0
 
 
+def _quantize_for_serving(state, test_ds, logger, n_calib: int = 64):
+    """int8-quantize the serving forward: calibrate activation scales on the
+    first test images, then swap every conv for the W8A8 path (the shim
+    state drives detector/evaluator/predictor unchanged)."""
+    from yolo_v1_tpu.eval.quantize import calibrate, quantize_state
+
+    n = min(n_calib, len(test_ds))
+    batch = np.stack([test_ds.load_sample(i)[0] for i in range(n)])
+    amax = calibrate(state, [batch])
+    logger.info("int8: calibrated %d convs on %d images", len(amax), n)
+    return quantize_state(state, amax)
+
+
 def cmd_map(argv: list[str]) -> int:
     """Standalone mAP over the full test list (run_voc_mAP.py parity)."""
     cfg = ExperimentConfig.from_args(argv)
@@ -196,6 +209,8 @@ def cmd_map(argv: list[str]) -> int:
         state, _, _ = manager.restore(state)
     else:
         logger.warning("no checkpoint in %s; evaluating fresh weights", save_dir)
+    if cfg.int8:
+        state = _quantize_for_serving(state, test_ds, logger)
     evaluator = VocEvaluator(
         test_ds,
         gt_full=prep_test_data(cfg.test_list),
@@ -306,12 +321,30 @@ def cmd_predict(argv: list[str]) -> int:
         print(f"no images under {inputs}")
         return 1
 
+    apply_fn = None
+    if cfg.int8:
+        from yolo_v1_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+        from yolo_v1_tpu.eval.quantize import calibrate, quantize_state
+
+        # Calibrate activation scales on the first input images themselves.
+        calib = []
+        for f in files[: min(64, len(files))]:
+            img = cv2.cvtColor(cv2.imread(f), cv2.COLOR_BGR2RGB)
+            img = cv2.resize(img, (cfg.image_size, cfg.image_size))
+            calib.append(
+                (img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+            )
+        state = quantize_state(state, calibrate(state, [np.stack(calib)]))
+        logger.info("int8: serving quantized forward")
+        apply_fn = state.apply_fn
+
     predictor = Predictor(
         model,
         {"params": state.params, "batch_stats": state.batch_stats},
         S=cfg.S, B=cfg.B, C=cfg.num_classes,
         score_threshold=cfg.score_threshold, nms_threshold=cfg.nms_threshold,
         nms_impl=cfg.nms_impl,
+        apply_fn=apply_fn,
     )
     bs = cfg.eval_batch_size
     size = cfg.image_size

@@ -59,6 +59,11 @@ class ExperimentConfig:
     # the device_augment path; single-device only.
     device_resident: bool = False
 
+    # int8 post-training quantization of the serving forward (eval/map/
+    # predict): conv weights per-channel + static activation scales from a
+    # calibration pass over test images (eval/quantize.py).  v5e runs int8
+    # matmuls at 2x the bf16 MXU rate.
+    int8: bool = False
     # eval (train.py:127, utils/utils.py:405)
     little_val: int = 750
     eval_batch_size: int = 32

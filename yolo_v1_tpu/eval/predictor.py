@@ -47,6 +47,7 @@ class Predictor:
         score_threshold: float = 0.1,
         nms_threshold: float = 0.45,
         nms_impl: str = "auto",
+        apply_fn=None,
     ):
         from yolo_v1_tpu.ops.pallas.nms_kernel import resolve_nms_impl
 
@@ -54,12 +55,15 @@ class Predictor:
         self.class_names: Sequence[str] = VOC_CLASSES
         mean = jnp.asarray(IMAGENET_MEAN)
         std = jnp.asarray(IMAGENET_STD)
+        # apply_fn override: serve an int8-quantized state
+        # (eval/quantize.quantize_state) or any custom forward.
+        apply = apply_fn if apply_fn is not None else model.apply
 
         @jax.jit
         def _predict(variables, images_u8):
             x = images_u8.astype(jnp.float32) / 255.0
             x = (x - mean) / std
-            pred = model.apply(variables, x, train=False)
+            pred = apply(variables, x, train=False)
             boxes, scores, classes, valid = jax.vmap(
                 partial(decode_grid, S=S, B=B, C=C, score_threshold=score_threshold)
             )(pred)

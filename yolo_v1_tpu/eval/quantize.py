@@ -1,0 +1,170 @@
+"""Post-training int8 quantization for the serving path (W8A8 convs).
+
+v5e executes int8 matmuls at 2x the bf16 MXU rate (394 TOPS vs 197 bf16
+TFLOPS), and the serving forward is conv-dominated, so quantizing conv
+weights (per-output-channel, symmetric) and activations (per-tensor,
+static scales from a calibration pass) raises the speed-of-light ceiling
+of batched inference.  BatchNorm, the sigmoid head math, decode and NMS
+stay in f32/bf16 — they are a rounding error of the FLOPs.
+
+This is capability beyond the reference (which serves f32 eager torch,
+run_voc_mAP.py:64-74); BASELINE.json lists "bf16/int8 batched-inference
+serving" among the rebuild's target configs.
+
+No model surgery: a flax method interceptor (``nn.intercept_methods``)
+swaps every ``nn.Conv.__call__`` for the int8 computation —
+``lax.conv_general_dilated`` on int8 operands with int32 accumulation,
+rescaled by (activation scale x per-channel weight scale).  The quantized
+pack rides inside a shim ``TrainState`` (params = {__real__, __quant__}),
+so ``eval/voc_map.make_detector``, the ``VocEvaluator`` and the
+``Predictor`` all work on a quantized state unchanged.
+
+Usage:
+    amax   = calibrate(state, batches)         # one forward per batch
+    qstate = quantize_state(state, amax)       # int8 kernels + scales
+    det    = make_detector(S=7, ...)           # unchanged
+    boxes, scores, classes, keep = det(qstate, images)
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from yolo_v1_tpu.train.state import TrainState
+
+_REAL, _QUANT = "__real__", "__quant__"
+
+
+def _conv_kernel_paths(params: dict, prefix: tuple = ()) -> list[tuple]:
+    """Paths (tuples of dict keys) of every 4-D 'kernel' leaf — the conv
+    weights.  Dense layers (none in these models) would be 2-D."""
+    out = []
+    for k, v in params.items():
+        if isinstance(v, dict):
+            out += _conv_kernel_paths(v, prefix + (k,))
+        elif k == "kernel" and getattr(v, "ndim", 0) == 4:
+            out.append(prefix)
+    return out
+
+
+def _path_key(path: tuple) -> str:
+    return "/".join(path)
+
+
+def calibrate(
+    state: TrainState, batches: Iterable, train: bool = False
+) -> dict[str, float]:
+    """Per-conv input-activation amax over calibration batches.
+
+    Returns {conv path: max |x|}, collected as jitted forward outputs (the
+    interceptor records traced ``max|x|`` scalars; no eager per-op
+    dispatch)."""
+
+    def fwd(variables, images):
+        amax: dict[str, jax.Array] = {}
+
+        def interceptor(next_fn, args, kwargs, context):
+            m = context.module
+            if isinstance(m, nn.Conv) and context.method_name == "__call__":
+                amax[_path_key(m.path)] = jnp.max(
+                    jnp.abs(args[0].astype(jnp.float32))
+                )
+            return next_fn(*args, **kwargs)
+
+        with nn.intercept_methods(interceptor):
+            state.apply_fn(variables, images, train=train)
+        return amax
+
+    jfwd = jax.jit(fwd)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    collected: dict[str, float] = {}
+    for images in batches:
+        got = jax.device_get(jfwd(variables, jnp.asarray(images)))
+        for k, v in got.items():
+            collected[k] = max(collected.get(k, 0.0), float(v))
+    return collected
+
+
+def quantize_state(
+    state: TrainState, act_amax: dict[str, float], eps: float = 1e-8
+) -> TrainState:
+    """Build the int8-serving state: per-output-channel symmetric int8 conv
+    kernels + weight scales + static activation scales, packed next to the
+    original params under a shim apply_fn.  Non-conv math is untouched."""
+    kernels: dict[str, jax.Array] = {}
+    w_scales: dict[str, jax.Array] = {}
+    x_scales: dict[str, jax.Array] = {}
+    params = jax.device_get(state.params)
+    for path in _conv_kernel_paths(params):
+        key = _path_key(path)
+        node = params
+        for p in path:
+            node = node[p]
+        w = np.asarray(node["kernel"], np.float32)  # [kh, kw, ci, co]
+        s_w = np.maximum(np.abs(w).reshape(-1, w.shape[-1]).max(0), eps) / 127.0
+        kernels[key] = jnp.asarray(
+            np.clip(np.rint(w / s_w), -127, 127).astype(np.int8)
+        )
+        w_scales[key] = jnp.asarray(s_w)
+        if key not in act_amax:
+            raise KeyError(f"no calibration amax for conv {key!r}")
+        x_scales[key] = jnp.asarray(
+            np.float32(max(act_amax[key], eps) / 127.0)
+        )
+
+    qpack = {"kernels": kernels, "w_scales": w_scales, "x_scales": x_scales}
+    model_apply = state.apply_fn
+
+    def quantized_apply(variables, images, train=False, **kwargs):
+        packed = variables["params"]
+        real, q = packed[_REAL], packed[_QUANT]
+
+        def interceptor(next_fn, args, kwargs_, context):
+            m = context.module
+            if not (
+                isinstance(m, nn.Conv) and context.method_name == "__call__"
+            ):
+                return next_fn(*args, **kwargs_)
+            key = _path_key(m.path)
+            x = args[0]
+            s_x = q["x_scales"][key]
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / s_x), -127, 127
+            ).astype(jnp.int8)
+            strides = (
+                m.strides
+                if isinstance(m.strides, (tuple, list))
+                else (m.strides or 1,) * 2
+            )
+            padding = m.padding
+            if isinstance(padding, int):
+                padding = ((padding, padding),) * 2
+            y = jax.lax.conv_general_dilated(
+                xq,
+                q["kernels"][key],
+                window_strides=tuple(strides),
+                padding=padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=m.feature_group_count,
+                preferred_element_type=jnp.int32,
+            )
+            scale = s_x * q["w_scales"][key]  # [co]
+            return (y.astype(jnp.float32) * scale).astype(m.dtype or x.dtype)
+
+        with nn.intercept_methods(interceptor):
+            return model_apply(
+                {"params": real, "batch_stats": variables["batch_stats"]},
+                images,
+                train=train,
+                **kwargs,
+            )
+
+    return state.replace(
+        apply_fn=quantized_apply,
+        params={_REAL: state.params, _QUANT: qpack},
+    )
