@@ -110,3 +110,36 @@ def test_quantized_state_drives_detector_and_evaluator():
     detector = make_detector(S=7)
     boxes, scores, classes, keep = detector(qstate, images)
     assert boxes.shape == (2, 98, 4) and keep.dtype == jnp.bool_
+
+
+@pytest.mark.slow
+def test_quantized_resnet50_tracks_f32():
+    """Full flagship architecture (stride-2 stem, bottlenecks, S==7 layer5,
+    1x1 head) through the int8 path at reduced resolution."""
+    model = build_model("resnet50", S=7, dtype=jnp.float32)
+    images = jnp.asarray(
+        np.random.default_rng(3).normal(0, 1, (2, 112, 112, 3)).astype(
+            np.float32
+        )
+    )
+    variables = model.init(jax.random.PRNGKey(0), images, train=False)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), apply_fn=model.apply,
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        tx=None, opt_state=None,
+    )
+    qstate = quantize_state(state, calibrate(state, [images]))
+    want = np.asarray(
+        state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False,
+        )
+    )
+    got = np.asarray(
+        qstate.apply_fn(
+            {"params": qstate.params, "batch_stats": qstate.batch_stats},
+            images, train=False,
+        )
+    )
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert corr > 0.99, corr
