@@ -54,15 +54,15 @@ def marginal_time(run_one, run_chain, iters: int) -> float:
 # ---------------------------------------------------------------- train step
 
 
-def make_state(S: int, dtype):
+def make_state(S: int, dtype, remat: bool = False):
     import jax
-    import jax.numpy as jnp
 
     from yolo_v1_tpu.models.registry import build_model
     from yolo_v1_tpu.train.schedule import make_lr_schedule
     from yolo_v1_tpu.train.state import create_train_state, make_optimizer
 
-    model = build_model("resnet50", S=S, dtype=dtype)
+    kwargs = {"remat": True} if remat else {}
+    model = build_model("resnet50", S=S, dtype=dtype, **kwargs)
     schedule = make_lr_schedule(100, 1e-6, 1000, {1: 1e-3})
     tx = make_optimizer(schedule, "sgd", 0.99)
     return create_train_state(
@@ -86,7 +86,7 @@ def fake_batch(bs: int, S: int, seed: int):
     return images, tgt
 
 
-def stage_train(stage: str, bs: int, impl: str) -> None:
+def stage_train(stage: str, bs: int, impl: str, remat: bool = False) -> None:
     import jax.numpy as jnp
 
     from yolo_v1_tpu.losses.yolov1 import YoloV1LossConfig
@@ -95,7 +95,7 @@ def stage_train(stage: str, bs: int, impl: str) -> None:
     S = 7
     cfg = YoloV1LossConfig(S=S, B=2, C=20, assignment_impl=impl)
     step = jit_train_step(cfg, mesh=None)
-    state = make_state(S, jnp.bfloat16)
+    state = make_state(S, jnp.bfloat16, remat=remat)
     images, targets = fake_batch(bs, S, 0)
     images2, targets2 = fake_batch(bs, S, 1)
     batches = [(jnp.asarray(images), jnp.asarray(targets)),
@@ -196,7 +196,7 @@ def stage_post(stage: str, impl: str, S: int, bs: int) -> None:
            ms_per_batch=round(per * 1e3, 3), compile_s=round(compile_s, 1))
 
 
-def stage_serve(stage: str, impl: str, bs: int) -> None:
+def stage_serve(stage: str, impl: str, bs: int, int8: bool = False) -> None:
     import jax.numpy as jnp
 
     from yolo_v1_tpu.eval.voc_map import make_detector
@@ -205,6 +205,13 @@ def stage_serve(stage: str, impl: str, bs: int) -> None:
     detector = make_detector(S=S, score_threshold=0.005, nms_threshold=0.45,
                              nms_impl=impl)
     state = make_state(S, jnp.bfloat16)
+    if int8:
+        from yolo_v1_tpu.eval.quantize import calibrate, quantize_state
+
+        calib = np.random.default_rng(7).normal(0, 1, (32, 448, 448, 3))
+        state = quantize_state(
+            state, calibrate(state, [calib.astype(np.float32)])
+        )
     rng = np.random.default_rng(0)
     imgs = [
         jnp.asarray(rng.normal(0, 1, (bs, 448, 448, 3)).astype(np.float32))
@@ -237,6 +244,10 @@ for _bs in (32, 64, 128):
         STAGES[f"train_{_impl}_bs{_bs}"] = partial(
             stage_train, f"train_{_impl}_bs{_bs}", _bs, _impl
         )
+for _bs in (128, 256):
+    STAGES[f"train_xla_bs{_bs}_remat"] = partial(
+        stage_train, f"train_xla_bs{_bs}_remat", _bs, "xla", remat=True
+    )
 for _impl in ("xla", "pallas", "fused"):
     STAGES[f"post_{_impl}_s7_bs128"] = partial(
         stage_post, f"post_{_impl}_s7_bs128", _impl, 7, 128
@@ -247,6 +258,12 @@ for _impl in ("xla", "pallas", "fused"):
     STAGES[f"serve_{_impl}_bs128"] = partial(
         stage_serve, f"serve_{_impl}_bs128", _impl, 128
     )
+STAGES["serve_int8_bs128"] = partial(
+    stage_serve, "serve_int8_bs128", "xla", 128, int8=True
+)
+STAGES["serve_int8_bs256"] = partial(
+    stage_serve, "serve_int8_bs256", "xla", 256, int8=True
+)
 
 
 def main() -> None:

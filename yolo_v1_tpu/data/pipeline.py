@@ -232,11 +232,15 @@ class DeviceResidentLoader:
         labels = np.zeros((n, MAX_BOXES), np.int32)
         counts = np.zeros((n,), np.int32)
         parts = []
-        chunk = np.empty(
-            (min(upload_chunk, n), cfg.image_size, cfg.image_size, 3), np.uint8
-        )
         for start in range(0, n, upload_chunk):
             m = min(upload_chunk, n - start)
+            # Fresh buffer per chunk: device_put may transfer asynchronously
+            # and jax's host-buffer semantics don't promise the numpy array
+            # is consumed before the call returns — reusing one staging
+            # buffer across chunks could corrupt in-flight uploads.
+            chunk = np.empty(
+                (m, cfg.image_size, cfg.image_size, 3), np.uint8
+            )
             for i in range(m):
                 img, b, l = dataset.load_raw(start + i)
                 chunk[i] = img
@@ -244,7 +248,7 @@ class DeviceResidentLoader:
                 boxes[start + i, :k] = b[:k]
                 labels[start + i, :k] = l[:k]
                 counts[start + i] = k
-            parts.append(jax.device_put(np.ascontiguousarray(chunk[:m])))
+            parts.append(jax.device_put(chunk))
             if logger:
                 logger.info(
                     "device-resident upload: %d / %d images", start + m, n
