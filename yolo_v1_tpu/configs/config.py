@@ -21,8 +21,9 @@ class ExperimentConfig:
     lambda_coord: float = 5.0
     lambda_noobj: float = 0.5
     # kernel/impl selectors: loss assignment 'xla'|'pallas'; eval NMS
-    # 'auto' (Pallas kernel on accelerators, xla on CPU) |'xla'|'pallas'
-    # (batch-parallel NMS kernel) |'fused' (single-program decode+NMS);
+    # 'auto' (measured v5e crossover: fused kernel at K>=256, two-stage
+    # Pallas below, xla on CPU/mesh) |'xla'|'pallas' (batch-parallel NMS
+    # kernel) |'fused' (single-program sort-free decode+NMS);
     # remat = jax.checkpoint on residual/dense blocks (memory saver)
     assignment_impl: str = "xla"
     nms_impl: str = "auto"

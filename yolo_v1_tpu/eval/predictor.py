@@ -51,7 +51,7 @@ class Predictor:
     ):
         from yolo_v1_tpu.ops.pallas.nms_kernel import resolve_nms_impl
 
-        nms_impl = resolve_nms_impl(nms_impl)
+        nms_impl = resolve_nms_impl(nms_impl, K=S * S * B)
         self.class_names: Sequence[str] = VOC_CLASSES
         mean = jnp.asarray(IMAGENET_MEAN)
         std = jnp.asarray(IMAGENET_STD)

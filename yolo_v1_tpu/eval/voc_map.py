@@ -44,9 +44,11 @@ def make_detector(
     """Jitted (state, images) -> (boxes, scores, classes, keep), all [N,K,...].
 
     Boxes come out clamped to [0,1] (utils/utils.py:406); scaling to pixels
-    happens host-side.  ``nms_impl``: 'auto' (Pallas kernel on accelerator
-    backends — measured 1.34 vs 1.65 ms at K=392/bs64 — XLA on CPU), or
-    force 'xla' / 'pallas'; all produce the identical greedy keep set.
+    happens host-side.  ``nms_impl``: 'auto' picks by measured v5e
+    crossover — two-stage Pallas NMS below K=256 (0.45 vs xla 0.52 ms at
+    K=98), sort-free fused decode+NMS above (1.01 vs xla 1.59 ms at
+    K=392), XLA on CPU/mesh — or force 'xla' / 'pallas' / 'fused'; all
+    produce the identical greedy keep set.
     With ``mesh``, the image batch (and every per-candidate output) shards
     over the 'data' axis so eval scales across chips like training does.
     With ``normalize_on_device``, images arrive as raw uint8 RGB (4x fewer
@@ -55,7 +57,7 @@ def make_detector(
     """
     from yolo_v1_tpu.ops.pallas.nms_kernel import resolve_nms_impl
 
-    nms_impl = resolve_nms_impl(nms_impl, mesh)
+    nms_impl = resolve_nms_impl(nms_impl, mesh, K=S * S * B)
 
     def detect(state: TrainState, images: jax.Array):
         if normalize_on_device:

@@ -44,19 +44,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def resolve_nms_impl(impl: str, mesh=None) -> str:
+def resolve_nms_impl(impl: str, mesh=None, K: int | None = None) -> str:
     """Resolve 'auto' to a concrete implementation.
 
     The kernels lower only through the Mosaic TPU pipeline ('tpu', or the
     tunneled 'axon' platform) and have no GSPMD partitioning rule, so 'auto'
     picks a Pallas kernel only for single-mesh TPU runs; everything else
     (CPU, GPU, mesh-sharded eval) takes the XLA path, which partitions and
-    lowers everywhere.  'fused' selects the single-program decode+NMS
-    kernel (ops/pallas/fused_decode_nms.py).
+    lowers everywhere.  Among the kernels, the v5e-measured crossover
+    (DESIGN.md) is the candidate count: at K=98 the two-stage NMS kernel
+    wins (0.45 vs fused 0.57 ms), at K=392 the sort-free fused decode+NMS
+    kernel wins (1.01 vs 1.36 ms) — its selection scan amortizes the
+    argsort+gathers it eliminates only once K is large.  'fused' selects
+    the single-program decode+NMS kernel (ops/pallas/fused_decode_nms.py).
     """
     if impl == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        return "pallas" if (on_tpu and mesh is None) else "xla"
+        if not (on_tpu and mesh is None):
+            return "xla"
+        return "fused" if (K is not None and K >= 256) else "pallas"
     if impl in ("pallas", "fused") and mesh is not None:
         raise ValueError(
             f"nms_impl='{impl}' cannot be used with a mesh (the Mosaic "
