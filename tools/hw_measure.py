@@ -238,6 +238,24 @@ def stage_serve(stage: str, impl: str, bs: int, int8: bool = False) -> None:
            imgs_per_sec=round(bs / per, 1), compile_s=round(compile_s, 1))
 
 
+def stage_exact(stage: str, S: int, bs: int) -> None:
+    """Hardware keep-set exactness: xla vs pallas vs fused on real Mosaic
+    (interpret-mode tests validate semantics, not the lowered kernel)."""
+    import jax.numpy as jnp
+
+    posts = {impl: make_post(impl, S) for impl in ("xla", "pallas", "fused")}
+    mismatches = {}
+    for seed in range(3):
+        grid = jnp.asarray(fake_grid(bs, S, seed))
+        keeps = {
+            impl: np.asarray(post(grid)[3]) for impl, post in posts.items()
+        }
+        for impl in ("pallas", "fused"):
+            d = int((keeps[impl] != keeps["xla"]).sum())
+            mismatches[impl] = mismatches.get(impl, 0) + d
+    record(stage, S=S, bs=bs, K=S * S * 2, keep_mismatches=mismatches)
+
+
 STAGES = {}
 for _bs in (32, 64, 128):
     for _impl in ("xla", "pallas"):
@@ -264,6 +282,8 @@ STAGES["serve_int8_bs128"] = partial(
 STAGES["serve_int8_bs256"] = partial(
     stage_serve, "serve_int8_bs256", "xla", 256, int8=True
 )
+STAGES["exact_keep_s7"] = partial(stage_exact, "exact_keep_s7", 7, 64)
+STAGES["exact_keep_s14"] = partial(stage_exact, "exact_keep_s14", 14, 32)
 
 
 def main() -> None:

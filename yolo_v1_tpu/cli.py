@@ -169,6 +169,7 @@ def cmd_train(argv: list[str]) -> int:
         config=FitConfig(
             num_epochs=cfg.num_epochs,
             run_full_map_threshold=cfg.run_full_map_threshold,
+            log_every=cfg.log_every,
         ),
         evaluator=evaluator,
         checkpointer=manager,

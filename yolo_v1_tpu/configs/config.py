@@ -71,6 +71,10 @@ class ExperimentConfig:
     score_threshold: float = 0.005
     nms_threshold: float = 0.45
     run_full_map_threshold: float = 0.585
+    # Per-iteration loss logging window (train.py:175 logs every 5).  Each
+    # log fetches device scalars = a pipeline flush; raise it on
+    # high-dispatch-latency links (the dev relay) to keep steps pipelined.
+    log_every: int = 5
 
     # output (train.py:91-93)
     save_dir: str = ""
