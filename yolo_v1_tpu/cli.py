@@ -176,6 +176,7 @@ def cmd_train(argv: list[str]) -> int:
         metric_writer=writer,
         logger=logger,
         start_epoch=start_epoch,
+        profile_dir=cfg.profile_dir or None,
         initial_best_map=gates["best_map"],
         initial_last_little_map=gates["last_little_map"],
     )

@@ -76,6 +76,10 @@ class ExperimentConfig:
     # high-dispatch-latency links (the dev relay) to keep steps pipelined.
     log_every: int = 5
 
+    # Capture a JAX/XProf device trace of steps 2-8 of the first epoch to
+    # this directory (train/loop.fit's upgrade over the reference's
+    # time.clock() lines, train.py:150-184).
+    profile_dir: str = ""
     # output (train.py:91-93)
     save_dir: str = ""
     pretrained_torch: str = ""  # optional .pth to import (train.py:61-78)
