@@ -41,6 +41,11 @@ def test_cli_train_and_map_on_mesh(voc_tree, tmp_path):
     assert rc == 0
     assert os.path.exists(os.path.join(save_dir, "train.log"))
     assert os.path.exists(os.path.join(save_dir, "metrics.csv"))
+    # Series parity with the reference's visdom plots incl. the live LR
+    # (train.py:162).
+    with open(os.path.join(save_dir, "metrics.csv")) as f:
+        series = {line.split(",")[1] for line in f.readlines()[1:]}
+    assert "now learning rate" in series, series
     assert os.path.isdir(os.path.join(save_dir, "latest"))
 
     rc = cli.main(

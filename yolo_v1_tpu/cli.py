@@ -161,6 +161,10 @@ def cmd_train(argv: list[str]) -> int:
         lambda_coord=cfg.lambda_coord, lambda_noobj=cfg.lambda_noobj,
         assignment_impl=cfg.assignment_impl,
     )
+    lr_schedule = make_lr_schedule(
+        max(len(loader), 1), cfg.warmup_increment, cfg.warmup_iters,
+        cfg.lr_adjust_map,
+    )
     fit(
         state,
         loader.epoch,
@@ -179,6 +183,7 @@ def cmd_train(argv: list[str]) -> int:
         profile_dir=cfg.profile_dir or None,
         initial_best_map=gates["best_map"],
         initial_last_little_map=gates["last_little_map"],
+        lr_schedule=lr_schedule,
     )
     return 0
 

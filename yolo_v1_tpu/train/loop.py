@@ -146,6 +146,7 @@ def fit(
     profile_dir: str | None = None,
     initial_best_map: float = 0.0,
     initial_last_little_map: float = 0.0,
+    lr_schedule: Callable[[int], Any] | None = None,
 ) -> tuple[TrainState, FitResult]:
     """Epoch loop with validation gating and checkpointing (train.py:144-209).
 
@@ -173,6 +174,7 @@ def fit(
     return _fit_epochs(
         state, train_loader_fn, config, loss_config, mesh, put, result, info,
         evaluator, checkpointer, metric_writer, start_epoch, profile_dir,
+        lr_schedule,
     )
 
 
@@ -181,6 +183,7 @@ def fit(
 def _fit_epochs(
     state, train_loader_fn, config, loss_config, mesh, put, result, info,
     evaluator, checkpointer, metric_writer, start_epoch, profile_dir,
+    lr_schedule=None,
 ):
     profiling = False
     epoch = start_epoch
@@ -247,6 +250,14 @@ def _fit_epochs(
                                 "classify loss": float(parts["classify"]),
                             }
                         )
+                        if lr_schedule is not None:
+                            # Reference plots the live LR every iteration
+                            # (train.py:162); one point per log window keeps
+                            # the series without per-step host syncs.
+                            metric_writer.plot(
+                                "now learning rate",
+                                float(lr_schedule(int(state.step))),
+                            )
             if profiling:  # loader shorter than the trace window
                 jax.profiler.stop_trace()
                 profiling = False
@@ -257,6 +268,10 @@ def _fit_epochs(
             result.epoch_losses.append(epoch_loss)
             if metric_writer:
                 metric_writer.plot("train loss", epoch_loss)
+                if lr_schedule is not None:  # short loaders miss log windows
+                    metric_writer.plot(
+                        "now learning rate", float(lr_schedule(int(state.step)))
+                    )
             info(
                 "Epoch %d finished, avg loss %.4f, %.1fs",
                 epoch + 1, epoch_loss, time.perf_counter() - epoch_start,
