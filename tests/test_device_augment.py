@@ -102,6 +102,52 @@ def test_deterministic_per_key(rng):
     assert not np.array_equal(np.asarray(a[0]), np.asarray(c[0]))
 
 
+def test_band_warp_matches_gather_warp(rng):
+    """The two-pass banded warp vs the exact per-pixel gather warp
+    (DESIGN.md: the gather is 225 ms/batch on hardware; the band warp is
+    the replacement).  Exact when rotation is zero; an O(tan(rot)) sub-
+    pixel shift on the vertical taps otherwise — compare on a smooth image
+    with a tolerance that would catch any indexing/weighting bug."""
+    from yolo_v1_tpu.data.device_augment import (
+        _affine_params, _warp_image, _warp_image_band,
+    )
+
+    size = 112
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    smooth = np.stack([xx, yy, xx * yy], axis=-1)  # gradients, range [0,1]
+    img = jnp.asarray(smooth)
+
+    # rotation-free affines: the decomposition is exact (same taps/weights)
+    cfg0 = DeviceAugmentConfig(rotate_range=(0.0, 0.0))
+    for seed in range(3):
+        rs, off = _affine_params(jax.random.PRNGKey(seed), size, cfg0)
+        want = np.asarray(_warp_image(img, rs, off))
+        got = np.asarray(_warp_image_band(img, rs, off, cfg0))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # full family incl. rotation: sub-pixel tap shift only
+    cfg = DeviceAugmentConfig()
+    for seed in range(4):
+        rs, off = _affine_params(jax.random.PRNGKey(100 + seed), size, cfg)
+        want = np.asarray(_warp_image(img, rs, off))
+        got = np.asarray(_warp_image_band(img, rs, off, cfg))
+        assert np.abs(got - want).max() < 0.02, np.abs(got - want).max()
+
+    # identity params reproduce the input bit-exactly (the gate folds into
+    # the params, so ungated samples must pass through unchanged)
+    ident = np.asarray(_warp_image_band(img, jnp.eye(2), jnp.zeros(2), cfg))
+    np.testing.assert_array_equal(ident, smooth)
+
+    # random (noise) image, rotation-free: still exact
+    noise = jnp.asarray(rng.uniform(0, 1, (size, size, 3)).astype(np.float32))
+    rs, off = _affine_params(jax.random.PRNGKey(9), size, cfg0)
+    np.testing.assert_allclose(
+        np.asarray(_warp_image_band(noise, rs, off, cfg0)),
+        np.asarray(_warp_image(noise, rs, off)),
+        atol=1e-4,
+    )
+
+
 def test_hsv_roundtrip(rng):
     rgb = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
     back = hsv_to_rgb(rgb_to_hsv(rgb))

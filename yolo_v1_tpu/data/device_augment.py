@@ -56,6 +56,22 @@ class DeviceAugmentConfig:
     dropout_rates: tuple[float, float] = (0.05, 0.2)
     replace_rate: float = 0.05
     hsv_shift: tuple[float, float] = (-10 / 255, 50 / 255)
+    # Affine-warp implementation.  'band': two-pass banded row-resample —
+    # one gather of WIDE [warp_chunk*3] pixel rows per (row, chunk, tap)
+    # instead of the per-pixel 4-corner gather, which XProf measured at
+    # 225 ms per 32-image batch (~6x the largest conv; 12-byte gather rows
+    # are latency-bound on TPU — docs/DESIGN.md XProf table).  'gather':
+    # the original exact per-pixel bilinear warp (kept as the semantic
+    # reference; the band warp matches it to ~1e-1 pixel-value tolerance
+    # under rotation and exactly when rotation is 0).
+    warp_impl: str = "band"
+    warp_chunk: int = 64  # gather-row width (pixels); must divide the image
+
+    def __post_init__(self):
+        if self.warp_impl not in ("band", "gather"):
+            raise ValueError(
+                f"warp_impl must be 'band' or 'gather', got {self.warp_impl!r}"
+            )
 
 
 # --- color space (values in [0,1]) ---
@@ -166,6 +182,89 @@ def _warp_image(img: Array, rs: Array, offset: Array) -> Array:
     taps = taps.reshape(4, size * size, -1)
     w = jnp.stack(weights)[:, :, None]  # [4, P, 1]
     return jnp.sum(taps * w, axis=0).reshape(size, size, -1)
+
+
+def _resample_axis0(
+    src: Array, c_row: Array, c_col: Array, c_0: Array, D: int, Wc: int
+) -> Array:
+    """1-D bilinear resample along axis 0 at positions affine in BOTH
+    indices: out[r, w, c] = lerp_axis0(src)[p(r, w), w, c] with
+    p = c_row*r + c_col*w + c_0; taps outside [0, H-1] contribute zero
+    (matching ``_warp_image``'s per-tap masking).
+
+    TPU-shaped: per (output row, Wc-wide column chunk) the two integer
+    neighbors of every in-chunk position lie inside a static D-tap band
+    anchored at floor(min p); the band rows are fetched with ONE gather of
+    [Wc*C]-wide rows (D · H · W/Wc descriptors per image instead of per-
+    pixel descriptors) and combined with elementwise hat weights — max(0,
+    1-|p - tap|) is exactly the bilinear weight pair.  D must satisfy
+    D >= |c_col|*(Wc-1) + 3, which the caller derives statically from the
+    augment-config parameter ranges.
+    """
+    H, W, C = src.shape
+    nc = W // Wc
+    r = jnp.arange(H, dtype=jnp.float32)
+    w = jnp.arange(W, dtype=jnp.float32)
+    p = c_row * r[:, None] + c_col * w[None, :] + c_0  # [H, W]
+    p_c = p.reshape(H, nc, Wc)
+    base = jnp.floor(jnp.min(p_c, axis=-1)).astype(jnp.int32)  # [H, nc]
+    tap = base[..., None] + jnp.arange(D, dtype=jnp.int32)  # [H, nc, D]
+    flat = src.reshape(H * nc, Wc * C)
+    idx = jnp.clip(tap, 0, H - 1) * nc + jnp.arange(nc)[None, :, None]
+    taps = jnp.take(flat, idx.reshape(-1), axis=0)
+    taps = taps.reshape(H, nc, D, Wc, C)
+    tap_f = tap[..., None].astype(jnp.float32)  # [H, nc, D, 1]
+    wgt = jnp.maximum(0.0, 1.0 - jnp.abs(p_c[:, :, None, :] - tap_f))
+    wgt = wgt * ((tap[..., None] >= 0) & (tap[..., None] <= H - 1))
+    out = jnp.sum(taps * wgt[..., None], axis=2)  # [H, nc, Wc, C]
+    return out.reshape(H, W, C)
+
+
+def _band_taps(cfg: DeviceAugmentConfig, Wc: int) -> tuple[int, int]:
+    """Static per-pass tap counts covering the config's parameter ranges."""
+    theta = np.deg2rad(
+        max(abs(cfg.rotate_range[0]), abs(cfg.rotate_range[1]))
+    )
+    smin, smax = cfg.scale_range
+    # inv(R(theta) @ S(sx, sy)) = [[cos/sx, sin/sx], [-sin/sy, cos/sy]]
+    cc_a = np.tan(theta) * smax / smin  # pass A: |a10/a00| <= tan * sx/sy
+    cc_b = np.sin(theta) / smin  # pass B: |a01| <= sin/sx
+    d_a = int(np.ceil(cc_a * (Wc - 1))) + 3
+    d_b = int(np.ceil(cc_b * (Wc - 1))) + 3
+    return d_a, d_b
+
+
+def _warp_image_band(
+    img: Array, rs: Array, offset: Array, cfg: DeviceAugmentConfig
+) -> Array:
+    """Two-pass inverse-mapped affine warp (Catmull-Smith decomposition).
+
+    The inverse map src = A (dst - offset) = a*dst + o factors into a
+    vertical 1-D resample t(u, x) = img(Y(u, x), x) followed by a
+    horizontal one out(u, v) = t(u, X(u, v)), with
+      X(u, v) = a00*v + a01*u + o_x                       (exact), and
+      Y(u, x) = (a10/a00)*x + (a11 - a10*a01/a00)*u + (o_y - a10/a00*o_x)
+    so that Y(u, X(u, v)) == sy(u, v) exactly on the pass-B sample points.
+    Each pass is ``_resample_axis0`` (pass B on the transpose, keeping the
+    gathered rows wide).  Not bit-identical to single-pass bilinear under
+    rotation (the two vertical taps of a horizontal pair sample Y at
+    x0/x0+1 rather than at the exact sx — an O(|a10/a00|) sub-pixel shift);
+    identical when rotation is zero, and exact identity at identity params.
+    """
+    size = img.shape[0]
+    Wc = cfg.warp_chunk
+    while size % Wc:
+        Wc -= 1
+    d_a, d_b = _band_taps(cfg, Wc)
+    a = jnp.linalg.inv(rs)
+    o = -a @ offset
+    cy_x = a[1, 0] / a[0, 0]
+    cy_u = a[1, 1] - a[1, 0] * a[0, 1] / a[0, 0]
+    cy_0 = o[1] - a[1, 0] / a[0, 0] * o[0]
+    t = _resample_axis0(img, cy_u, cy_x, cy_0, d_a, Wc)
+    t = jnp.swapaxes(t, 0, 1)
+    out = _resample_axis0(t, a[0, 0], a[0, 1], o[0], d_b, Wc)
+    return jnp.swapaxes(out, 0, 1)
 
 
 def _transform_boxes_affine(xyxy: Array, rs: Array, offset: Array) -> Array:
@@ -326,7 +425,15 @@ def _augment_one(
 
     do_affine = jax.random.uniform(k_aff_gate) < cfg.affine_prob
     rs, offset = _affine_params(k_aff, size, cfg)
-    img = jnp.where(do_affine, _warp_image(img, rs, offset), img)
+    if cfg.warp_impl == "band":
+        # Fold the gate into the params: the band resample is bit-exact at
+        # identity (weight 1.0 on the integer tap), so ungated samples pass
+        # through unchanged without a second full-image select.
+        rs_eff = jnp.where(do_affine, rs, jnp.eye(2))
+        off_eff = jnp.where(do_affine, offset, jnp.zeros(2))
+        img = _warp_image_band(img, rs_eff, off_eff, cfg)
+    else:
+        img = jnp.where(do_affine, _warp_image(img, rs, offset), img)
     xyxy = jnp.where(do_affine, _transform_boxes_affine(xyxy, rs, offset), xyxy)
 
     img = _pixel_ops(k_pix, img, cfg)
@@ -358,13 +465,25 @@ def augment_and_encode_batch(
     B: int = 2,
     C: int = 20,
     cfg: DeviceAugmentConfig = DeviceAugmentConfig(),
+    sample_ids: Array | None = None,  # [N] global dataset indices
 ) -> tuple[Array, Array]:
     """uint8 batch -> (normalized float images, encoded target grids),
-    augmented, in ONE jitted program."""
+    augmented, in ONE jitted program.
+
+    With ``sample_ids``, sample i's key is ``fold_in(key, sample_ids[i])``
+    — a function of the GLOBAL dataset index, so the draw is invariant to
+    batch position and to how the batch is sharded over a mesh (the
+    sharded resident loader and the single-device loaders produce
+    bit-identical batches for the same sampling order).  Without it, keys
+    split positionally (key + batch slot).
+    """
     N, M = boxes.shape[0], boxes.shape[1]
     imgs = images_u8.astype(jnp.float32) / 255.0
     valid = jnp.arange(M)[None, :] < counts[:, None]
-    keys = jax.random.split(key, N)
+    if sample_ids is None:
+        keys = jax.random.split(key, N)
+    else:
+        keys = jax.vmap(partial(jax.random.fold_in, key))(sample_ids)
     imgs, aug_boxes, aug_valid = jax.vmap(
         partial(_augment_one, cfg=cfg)
     )(keys, imgs, boxes, valid)
@@ -395,7 +514,9 @@ def gather_augment_encode(
     """Device-resident batch assembly: gather ``idx`` rows from the
     HBM-resident dataset tensors (an on-chip row gather — microseconds at
     HBM bandwidth), then augment + normalize + encode, one jitted program.
-    Per step only the [N] index vector crosses the host->device link."""
+    Per step only the [N] index vector crosses the host->device link.
+    Augment keys fold in the global dataset index (see
+    ``augment_and_encode_batch``)."""
     return augment_and_encode_batch(
         key,
         jnp.take(images_all, idx, axis=0),
@@ -403,4 +524,71 @@ def gather_augment_encode(
         jnp.take(labels_all, idx, axis=0),
         jnp.take(counts_all, idx, axis=0),
         S=S, B=B, C=C, cfg=cfg,
+        sample_ids=idx,
     )
+
+
+def dp_axes_of(mesh) -> tuple[str, ...]:
+    """The mesh axes a batch dimension shards over (parallel/mesh
+    data_sharding's spec: jointly ('replica', 'data') on hybrid meshes)."""
+    return tuple(a for a in ("replica", "data") if a in mesh.axis_names)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "shard_len", "S", "B", "C", "cfg"),
+)
+def sharded_gather_augment_encode(
+    key: Array,
+    images_all: Array,  # [D_pad, H, W, 3] uint8, sharded over dp axes
+    boxes_all: Array,
+    labels_all: Array,
+    counts_all: Array,
+    idx: Array,  # [N] GLOBAL indices, sharded over dp axes
+    *,
+    mesh,
+    shard_len: int,
+    S: int,
+    B: int = 2,
+    C: int = 20,
+    cfg: DeviceAugmentConfig = DeviceAugmentConfig(),
+) -> tuple[Array, Array]:
+    """Mesh-sharded resident-batch assembly: each data-parallel device
+    gathers ONLY from its local ``shard_len``-row block of the resident
+    dataset and augments its batch slice locally — zero collective traffic
+    in the input pipeline (a plain ``jnp.take`` on a sharded operand would
+    make XLA SPMD all-gather the whole dataset).
+
+    The caller guarantees (data/pipeline.epoch_plan with ``shards``) that
+    every global index in device d's ``idx`` slice lies inside d's block
+    ``[d*shard_len, (d+1)*shard_len)``.  Augment keys fold in the GLOBAL
+    index, so the batch is bit-identical to an unsharded gather with the
+    same plan (placement invariance; tested in test_pipeline).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    dp = dp_axes_of(mesh)
+    spec = P(dp if len(dp) > 1 else dp[0])
+
+    def local(key, imgs, bxs, lbs, cts, idx_g):
+        shard = jax.lax.axis_index(dp[0])
+        for a in dp[1:]:
+            shard = shard * mesh.shape[a] + jax.lax.axis_index(a)
+        li = idx_g - shard * shard_len
+        return augment_and_encode_batch(
+            key,
+            jnp.take(imgs, li, axis=0),
+            jnp.take(bxs, li, axis=0),
+            jnp.take(lbs, li, axis=0),
+            jnp.take(cts, li, axis=0),
+            S=S, B=B, C=C, cfg=cfg,
+            sample_ids=idx_g,
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), spec, spec, spec, spec, spec),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )(key, images_all, boxes_all, labels_all, counts_all, idx)
