@@ -20,6 +20,16 @@ class ExperimentConfig:
     # loss (train.py:43-44)
     lambda_coord: float = 5.0
     lambda_noobj: float = 0.5
+    # Scale lambda_noobj by (7/S)^2 so the per-image no-object MSE mass is
+    # independent of the grid size.  Measured (docs/DESIGN.md "S=14: the
+    # confidence-collapse finding", runs/synth_r50_s14*): the raw reference
+    # recipe (S=14, lambda_noobj=0.5, train.py:41-44) drives the confidence
+    # head to sigmoid ~1e-9 within ~4 epochs — a dead-gradient zone with
+    # mAP exactly 0 forever — while the (7/S)^2 rebalance trains to
+    # 0.987 mAP in 14 epochs.  At S=7 this is a no-op (factor 1.0); the
+    # reference's own study file carries the weaker 7/S variant
+    # (testCodes/xmLoss.py:40).  Set False for raw reference behavior.
+    noobj_rebalance: bool = True
     # kernel/impl selectors: loss assignment 'xla'|'pallas'; eval NMS
     # 'auto' (measured v5e crossover: fused kernel at K>=256, two-stage
     # Pallas below, xla on CPU/mesh) |'xla'|'pallas' (batch-parallel NMS
@@ -84,6 +94,10 @@ class ExperimentConfig:
     save_dir: str = ""
     pretrained_torch: str = ""  # optional .pth to import (train.py:61-78)
     resume: bool = False
+    # Keep the newest N per-epoch checkpoint copies (epoch_NNNN dirs) in
+    # addition to latest/best; 0 = reference behavior (one rolling + best,
+    # train.py:204-209).  Retention is pruned after every save.
+    keep_checkpoints: int = 0
 
     def __post_init__(self):
         if self.assignment_impl not in ("xla", "pallas"):
@@ -96,6 +110,14 @@ class ExperimentConfig:
                 f"nms_impl must be 'auto', 'xla', 'pallas' or 'fused', got "
                 f"{self.nms_impl!r}"
             )
+
+    def resolved_lambda_noobj(self) -> float:
+        """Effective no-object weight: lambda_noobj * (7/S)^2 when
+        noobj_rebalance is on (exactly lambda_noobj at the reference's S=7).
+        This is the trainer's single source of truth for the weight."""
+        if self.noobj_rebalance:
+            return self.lambda_noobj * (7.0 / self.S) ** 2
+        return self.lambda_noobj
 
     def resolved_save_dir(self) -> str:
         if self.save_dir:
