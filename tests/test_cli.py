@@ -32,6 +32,26 @@ def test_config_from_args_parses_lr_map():
     assert cfg.resolved_save_dir() == "resnet50_sgd_cellSize14"
 
 
+def test_noobj_rebalance_resolution():
+    """The (7/S)^2 rebalance (docs/DESIGN.md S=14 collapse finding) is the
+    default; S=7 is exactly the reference weight (train.py:44)."""
+    assert ExperimentConfig(S=7).resolved_lambda_noobj() == 0.5
+    assert ExperimentConfig(S=14).resolved_lambda_noobj() == pytest.approx(
+        0.125
+    )
+    assert (
+        ExperimentConfig(S=14, noobj_rebalance=False).resolved_lambda_noobj()
+        == 0.5
+    )
+    # CLI flag parses and the default config is S=14 + rebalance on — the
+    # committed reference default (train.py:41) must not be the measured
+    # collapse recipe.
+    cfg = ExperimentConfig.from_args([])
+    assert cfg.S == 14 and cfg.noobj_rebalance
+    cfg = ExperimentConfig.from_args(["--noobj_rebalance", "false"])
+    assert not cfg.noobj_rebalance
+
+
 def test_cli_train_and_map_on_mesh(voc_tree, tmp_path):
     """Full train command on the 8-device CPU mesh (len(jax.devices())>1
     triggers the sharded path), then standalone map on the checkpoint."""
@@ -64,6 +84,23 @@ def test_cli_train_device_augment(voc_tree, tmp_path):
                                                      "--test_list", ""))]
     )
     assert rc == 0
+
+
+def test_cli_train_device_resident_on_mesh(voc_tree, tmp_path):
+    """The flagship resident feed composes with the mesh: the HBM dataset
+    shards over the data axis and training uses all 8 devices (regression:
+    device_resident used to silently drop the mesh, cli.py round 2)."""
+    list_file, _ = voc_tree
+    save_dir = str(tmp_path / "runDR")
+    rc = cli.main(
+        ["train", *_train_args(list_file, save_dir,
+                               ("--device_resident", "true"))]
+    )
+    assert rc == 0
+    log = open(os.path.join(save_dir, "train.log")).read()
+    assert "data-parallel mesh over 8 devices" in log
+    assert "ignoring" not in log
+    assert "device-resident upload: shard 8 / 8" in log
 
 
 def test_cli_usage():

@@ -147,6 +147,149 @@ def test_batch_loader_shuffles_by_epoch(voc_tree):
     assert not np.array_equal(im0, im1)
 
 
+def test_epoch_plan_global_coverage_and_tail_padding():
+    from yolo_v1_tpu.data.pipeline import epoch_plan
+
+    # drop_last=True: whole batches only, every index unique, deterministic
+    idx, w = epoch_plan(0, 3, n=10, batch_size=4)
+    assert idx.shape == (2, 4) and (w == 1.0).all()
+    assert len(set(idx.ravel().tolist())) == 8
+    idx2, _ = epoch_plan(0, 3, n=10, batch_size=4)
+    np.testing.assert_array_equal(idx, idx2)
+    assert not np.array_equal(idx, epoch_plan(0, 4, n=10, batch_size=4)[0])
+
+    # drop_last=False: ONE batch shape, wrap-padded tail rows carry weight 0
+    idx, w = epoch_plan(0, 0, n=10, batch_size=4, drop_last=False)
+    assert idx.shape == (3, 4) and w.shape == (3, 4)
+    assert sorted(idx.ravel()[w.ravel() == 1.0].tolist()) == list(range(10))
+    assert w.sum() == 10.0 and (w[:2] == 1.0).all()
+
+
+def test_epoch_plan_sharded_locality_and_coverage():
+    from yolo_v1_tpu.data.pipeline import epoch_plan
+
+    n, bs, shards = 16, 8, 4
+    shard_len = 4
+    idx, w = epoch_plan(0, 1, n, bs, shards=shards, shard_len=shard_len)
+    q = bs // shards
+    assert idx.shape == (2, 8) and (w == 1.0).all()
+    # locality: column block j only holds indices from shard j's row block
+    for j in range(shards):
+        col = idx[:, j * q : (j + 1) * q]
+        assert ((col >= j * shard_len) & (col < (j + 1) * shard_len)).all()
+    # full coverage: every sample exactly once
+    assert sorted(idx.ravel().tolist()) == list(range(16))
+    # uneven shards with drop_last=False: wrap rows get weight 0, every
+    # real sample appears with weight 1
+    idx, w = epoch_plan(0, 1, 13, bs, shards=shards, shard_len=4,
+                        drop_last=False)
+    real = idx.ravel()[w.ravel() == 1.0]
+    assert sorted(real.tolist()) == list(range(13))
+    with pytest.raises(ValueError):
+        epoch_plan(0, 0, 16, batch_size=6, shards=4)
+
+
+def test_resident_loader_sharded_matches_unsharded_gather(tmp_path):
+    """The mesh-sharded resident path (per-device local gather via
+    shard_map) must produce BIT-IDENTICAL batches to a plain single-device
+    gather_augment_encode over the same plan — augment keys fold in the
+    GLOBAL dataset index, so placement cannot change the draw.  (Values
+    match to float tolerance, not bitwise: the SPMD and single-device
+    programs fuse differently, so ulp-level reassociation differs.)"""
+    import jax
+    import jax.numpy as jnp
+    from tests.conftest import make_voc_tree
+    from yolo_v1_tpu.data.device_augment import gather_augment_encode
+    from yolo_v1_tpu.data.pipeline import (
+        MAX_BOXES, DeviceResidentLoader, epoch_plan,
+    )
+    from yolo_v1_tpu.parallel.mesh import make_mesh
+
+    list_file, _ = make_voc_tree(tmp_path, n_images=16)
+    cfg = cfg112()
+    ds = YoloDataset(list_file, train=False, config=cfg)
+    mesh = make_mesh(8)
+    loader = DeviceResidentLoader(ds, batch_size=8, mesh=mesh)
+    assert loader._shards == 8 and loader._shard_len == 2
+    assert len(loader) == 2
+
+    # Unsharded reference: same resident tensors, same plan, same keys.
+    images = np.stack([ds.load_raw(i)[0] for i in range(16)])
+    boxes = np.zeros((16, MAX_BOXES, 4), np.float32)
+    labels = np.zeros((16, MAX_BOXES), np.int32)
+    counts = np.zeros((16,), np.int32)
+    for i in range(16):
+        _, b, l = ds.load_raw(i)
+        boxes[i, : len(b)], labels[i, : len(l)], counts[i] = b, l, len(b)
+
+    for epoch in (0, 2):
+        plan, _ = epoch_plan(
+            cfg.seed, epoch, 16, 8, shards=8, shard_len=2
+        )
+        got = list(loader.epoch(epoch))
+        assert len(got) == 2
+        for bi, (imgs_s, tgts_s) in enumerate(got):
+            assert imgs_s.sharding.num_devices == 8
+            key = jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch), bi
+            )
+            imgs_r, tgts_r = gather_augment_encode(
+                key, jnp.asarray(images), jnp.asarray(boxes),
+                jnp.asarray(labels), jnp.asarray(counts),
+                jnp.asarray(plan[bi]),
+                S=cfg.S, B=cfg.B, C=cfg.C, cfg=loader.augment_config,
+            )
+            np.testing.assert_allclose(
+                np.asarray(imgs_s), np.asarray(imgs_r), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(tgts_s), np.asarray(tgts_r), atol=1e-5
+            )
+
+
+def test_device_augmented_loader_mesh_matches_plain(voc_tree):
+    """DeviceAugmentedLoader under a mesh (batch-sharded augment program)
+    yields the same values as the single-device loader."""
+    from yolo_v1_tpu.data.pipeline import DeviceAugmentedLoader
+    from yolo_v1_tpu.parallel.mesh import make_mesh
+
+    ds = YoloDataset(voc_tree[0], train=False, config=cfg112())
+    plain = DeviceAugmentedLoader(ds, batch_size=8)
+    meshed = DeviceAugmentedLoader(ds, batch_size=8, mesh=make_mesh(8))
+    for (i1, t1), (i2, t2) in zip(plain.epoch(1), meshed.epoch(1)):
+        assert i2.sharding.num_devices == 8
+        np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-5)
+    plain.close()
+    meshed.close()
+
+
+def test_loaders_drop_last_false_single_shape_weights(voc_tree):
+    """drop_last=False wrap-pads the tail batch to ONE compiled shape and
+    yields (images, targets, weights) 3-tuples; weight-1 rows cover the
+    dataset exactly once per epoch."""
+    from yolo_v1_tpu.data.pipeline import (
+        DeviceAugmentedLoader, DeviceResidentLoader,
+    )
+
+    ds = YoloDataset(voc_tree[0], train=False, config=cfg112())
+    for loader in (
+        DeviceAugmentedLoader(ds, batch_size=3, drop_last=False),
+        DeviceResidentLoader(ds, batch_size=3, drop_last=False),
+    ):
+        batches = list(loader.epoch(0))
+        assert len(batches) == 3 == len(loader)
+        total_w = 0.0
+        for b in batches:
+            assert len(b) == 3
+            imgs, tgts, w = b
+            assert imgs.shape[0] == 3 and w.shape == (3,)
+            total_w += float(w.sum())
+        assert total_w == 8.0
+        if hasattr(loader, "close"):
+            loader.close()
+
+
 def test_collate_pads_and_truncates():
     samples = [
         (np.zeros((8, 8, 3), np.float32),

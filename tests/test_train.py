@@ -195,6 +195,38 @@ def test_fit_smoke(tmp_path):
     assert (tmp_path / "metrics.csv").exists()
 
 
+def test_fit_weighted_batches_mask_padded_rows():
+    """Loaders may yield (images, targets, weights) 3-tuples (epoch_plan
+    wrap-padding); fit() must route the weights into the masked loss — a
+    weight-0 duplicate row must produce the same update as down-weighting
+    it would NOT."""
+    from yolo_v1_tpu.train.loop import make_train_step
+
+    state_a, images, targets = _tiny_setup(batch=8)
+    state_b, _, _ = _tiny_setup(batch=8)
+
+    # Reference: weighted step with explicit mask.
+    w = np.array([1, 1, 1, 1, 1, 1, 0, 0], np.float32)
+    step_w = jax.jit(make_train_step(YoloV1LossConfig(S=7), weighted=True))
+    state_a, parts_a = step_w(
+        state_a, jnp.asarray(images), jnp.asarray(targets), jnp.asarray(w)
+    )
+
+    # fit() with a 3-tuple loader must take the weighted path and match.
+    def loader(epoch):
+        yield images, targets, w
+
+    state_b, result = fit(
+        state_b, loader, YoloV1LossConfig(S=7),
+        config=FitConfig(num_epochs=1, log_every=10),
+    )
+    assert result.epoch_losses[0] == pytest.approx(float(parts_a["total"]))
+    for a, b in zip(
+        jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_adam_optimizer_variant():
     state, images, targets = _tiny_setup()
     tx = make_optimizer(lambda s: 1e-3, "adam")

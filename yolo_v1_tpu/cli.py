@@ -88,19 +88,26 @@ def cmd_train(argv: list[str]) -> int:
     pipe_cfg = _pipeline_config(cfg)
 
     mesh = None
-    if len(jax.devices()) > 1 and not cfg.device_resident:
+    if len(jax.devices()) > 1:
         # All devices, always: batches that don't divide the mesh are padded
         # with loss-masked rows (train/loop) or trimmed detector outputs
-        # (eval), so no chip idles on awkward batch sizes.
-        mesh = make_mesh(len(jax.devices()))
-        logger.info(
-            "data-parallel mesh over %d devices", len(jax.devices())
-        )
-    elif len(jax.devices()) > 1:
-        logger.warning(
-            "device_resident is single-device; ignoring %d extra devices",
-            len(jax.devices()) - 1,
-        )
+        # (eval), so no chip idles on awkward batch sizes.  The resident
+        # loader shards the HBM dataset over the data axis
+        # (pipeline.DeviceResidentLoader), so every feed path scales.
+        n_mesh = len(jax.devices())
+        if cfg.device_resident and cfg.batch_size % n_mesh != 0:
+            # The resident plan draws batch/D rows per dataset shard, so the
+            # mesh size must divide the batch — shrink to the largest
+            # divisor instead of crashing (parity with the padded paths).
+            from yolo_v1_tpu.parallel.mesh import largest_divisor_device_count
+
+            n_mesh = largest_divisor_device_count(cfg.batch_size)
+            logger.warning(
+                "batch %d does not divide %d devices; resident mesh uses %d",
+                cfg.batch_size, len(jax.devices()), n_mesh,
+            )
+        mesh = make_mesh(n_mesh)
+        logger.info("data-parallel mesh over %d devices", n_mesh)
 
     if cfg.device_resident:
         from yolo_v1_tpu.data.pipeline import DeviceResidentLoader
@@ -109,7 +116,9 @@ def cmd_train(argv: list[str]) -> int:
             cfg.train_list, train=False, config=pipe_cfg,
             little_train=cfg.little_train,
         )
-        loader = DeviceResidentLoader(train_ds, cfg.batch_size, logger=logger)
+        loader = DeviceResidentLoader(
+            train_ds, cfg.batch_size, logger=logger, mesh=mesh
+        )
     elif cfg.device_augment:
         from yolo_v1_tpu.data.pipeline import DeviceAugmentedLoader
 
@@ -117,7 +126,7 @@ def cmd_train(argv: list[str]) -> int:
             cfg.train_list, train=False, config=pipe_cfg,
             little_train=cfg.little_train,
         )
-        loader = DeviceAugmentedLoader(train_ds, cfg.batch_size)
+        loader = DeviceAugmentedLoader(train_ds, cfg.batch_size, mesh=mesh)
     else:
         train_ds = YoloDataset(
             cfg.train_list, train=True, config=pipe_cfg,
@@ -145,7 +154,9 @@ def cmd_train(argv: list[str]) -> int:
         )
 
     state, _ = _build_state(cfg, steps_per_epoch=max(len(loader), 1), logger=logger)
-    manager = ckpt.CheckpointManager(save_dir)
+    manager = ckpt.CheckpointManager(
+        save_dir, history_keep=cfg.keep_checkpoints
+    )
     start_epoch = 0
     gates = {"best_map": 0.0, "last_little_map": 0.0}
     if cfg.resume and manager.exists():
@@ -156,35 +167,59 @@ def cmd_train(argv: list[str]) -> int:
             gates["best_map"],
         )
 
+    lambda_noobj = cfg.resolved_lambda_noobj()
+    if lambda_noobj != cfg.lambda_noobj:
+        logger.info(
+            "noobj_rebalance: lambda_noobj %.4g -> %.4g ((7/S)^2 at S=%d; "
+            "equalizes per-image no-object MSE mass across grid sizes)",
+            cfg.lambda_noobj, lambda_noobj, cfg.S,
+        )
+    elif cfg.S > 7 and not cfg.noobj_rebalance:
+        logger.warning(
+            "S=%d with raw lambda_noobj=%.3g is a MEASURED confidence-"
+            "collapse recipe (mAP stays 0.0; docs/DESIGN.md, "
+            "runs/synth_r50_s14_collapse) — consider --noobj_rebalance true",
+            cfg.S, cfg.lambda_noobj,
+        )
     loss_cfg = YoloV1LossConfig(
         S=cfg.S, B=cfg.B, C=cfg.num_classes,
-        lambda_coord=cfg.lambda_coord, lambda_noobj=cfg.lambda_noobj,
+        lambda_coord=cfg.lambda_coord, lambda_noobj=lambda_noobj,
         assignment_impl=cfg.assignment_impl,
     )
     lr_schedule = make_lr_schedule(
         max(len(loader), 1), cfg.warmup_increment, cfg.warmup_iters,
         cfg.lr_adjust_map,
     )
-    fit(
-        state,
-        loader.epoch,
-        loss_cfg,
-        mesh=mesh,
-        config=FitConfig(
-            num_epochs=cfg.num_epochs,
-            run_full_map_threshold=cfg.run_full_map_threshold,
-            log_every=cfg.log_every,
-        ),
-        evaluator=evaluator,
-        checkpointer=manager,
-        metric_writer=writer,
-        logger=logger,
-        start_epoch=start_epoch,
-        profile_dir=cfg.profile_dir or None,
-        initial_best_map=gates["best_map"],
-        initial_last_little_map=gates["last_little_map"],
-        lr_schedule=lr_schedule,
-    )
+    try:
+        fit(
+            state,
+            loader.epoch,
+            loss_cfg,
+            mesh=mesh,
+            config=FitConfig(
+                num_epochs=cfg.num_epochs,
+                run_full_map_threshold=cfg.run_full_map_threshold,
+                log_every=cfg.log_every,
+            ),
+            evaluator=evaluator,
+            checkpointer=manager,
+            metric_writer=writer,
+            logger=logger,
+            start_epoch=start_epoch,
+            profile_dir=cfg.profile_dir or None,
+            initial_best_map=gates["best_map"],
+            initial_last_little_map=gates["last_little_map"],
+            lr_schedule=lr_schedule,
+        )
+    finally:
+        # Drain any in-flight async checkpoint write, then worker-pool
+        # hygiene: a process embedding the trainer (tests, a long-lived
+        # service) must not leak executors.
+        manager.wait()
+        if hasattr(loader, "close"):
+            loader.close()
+        if evaluator is not None:
+            evaluator.close()
     return 0
 
 
@@ -404,10 +439,16 @@ def cmd_synth_data(argv: list[str]) -> int:
     p.add_argument("--n_test", type=int, default=800)
     p.add_argument("--image_size", type=int, default=448)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--hard", type=lambda v: v.lower() in ("1", "true", "yes"),
+        default=False,
+        help="non-saturating tier: small objects, occlusion, confusable "
+        "hues, dense distractors, degradations (data/synthetic.py)",
+    )
     ns = p.parse_args(argv)
     counts = generate_dataset(
         ns.out_dir, n_train=ns.n_train, n_test=ns.n_test,
-        image_size=ns.image_size, seed=ns.seed,
+        image_size=ns.image_size, seed=ns.seed, hard=ns.hard,
     )
     for name, n in counts.items():
         print(f"{name}: {n} images")

@@ -133,13 +133,100 @@ def collate(
     return images, boxes, labels, counts
 
 
+def epoch_plan(
+    seed: int,
+    epoch: int,
+    n: int,
+    batch_size: int,
+    shards: int = 1,
+    shard_len: int | None = None,
+    drop_last: bool = True,
+    shuffle: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-epoch sampling plan: (global indices [nb, bs], weights [nb, bs]).
+
+    ``shards == 1``: a global shuffle (the reference DataLoader's
+    shuffle=True, train.py:119); with ``drop_last=False`` the tail batch is
+    wrap-padded to the full batch size with weight-0 rows so every batch
+    has ONE compiled shape (a short tail batch would cost a distinct jitted
+    program — minutes on a remote-compile TPU path).
+
+    ``shards > 1`` (mesh-sharded resident dataset): the dataset rows live
+    in ``shards`` contiguous blocks of ``shard_len`` rows, one per
+    data-parallel device; each device can only gather rows it holds, so
+    every batch is composed of ``batch_size/shards`` rows drawn from EACH
+    shard's independently shuffled pool (the standard sharded-input-
+    pipeline design; the reference's DataParallel instead scatters a
+    host-assembled batch, train.py:80).  The plan is a pure function of
+    (seed, epoch, n, batch_size, shards), so a single-device run with the
+    same ``shards`` value reproduces the sharded run's batches exactly.
+    """
+    ss = np.random.SeedSequence
+    if shards == 1:
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(ss([seed, epoch, 7919])).shuffle(order)
+        nb = n // batch_size if drop_last else -(-n // batch_size)
+        total = nb * batch_size
+        idx = np.resize(order, total).reshape(nb, batch_size)
+        weights = (np.arange(total) < n).astype(np.float32).reshape(
+            nb, batch_size
+        )
+        return idx.astype(np.int32), weights
+    if batch_size % shards:
+        raise ValueError(f"batch_size {batch_size} must divide over {shards} shards")
+    if shard_len is None:
+        shard_len = -(-n // shards)
+    q = batch_size // shards
+    pools, reals = [], []
+    for j in range(shards):
+        real_j = int(np.clip(n - j * shard_len, 0, shard_len))
+        if real_j < 1:
+            raise ValueError(
+                f"shard {j} holds no real samples (n={n}, shards={shards})"
+            )
+        pool = j * shard_len + np.arange(real_j)
+        if shuffle:
+            np.random.default_rng(ss([seed, epoch, 7919, j])).shuffle(pool)
+        pools.append(pool)
+        reals.append(real_j)
+    if drop_last:
+        nb = min(r // q for r in reals)
+        if nb == 0:
+            raise ValueError(
+                f"batch {batch_size} over {shards} shards needs >= {q} "
+                f"samples per shard; smallest shard has {min(reals)}"
+            )
+    else:
+        nb = max(-(-r // q) for r in reals)
+    idx = np.zeros((nb, batch_size), np.int32)
+    weights = np.zeros((nb, batch_size), np.float32)
+    for j, (pool, real_j) in enumerate(zip(pools, reals)):
+        take = np.resize(pool, nb * q).reshape(nb, q)
+        w = (np.arange(nb * q) < real_j).astype(np.float32).reshape(nb, q)
+        idx[:, j * q : (j + 1) * q] = take
+        weights[:, j * q : (j + 1) * q] = w
+    return idx, weights
+
+
 class DeviceAugmentedLoader:
     """Batch loader whose augmentation runs ON DEVICE (data/device_augment):
     workers only decode JPEG + resize; flips/affine/pixel ops, ImageNet
     normalization and target encoding are one jitted program per batch.
 
-    Construct over a ``YoloDataset(train=False)`` (host augmentation off);
-    randomness comes from (seed, epoch, batch) PRNG keys.
+    Construct over a ``YoloDataset(train=False)`` (host augmentation off).
+    Sampling follows ``epoch_plan`` and per-sample augment keys fold in the
+    GLOBAL dataset index, so batches are bit-identical to the resident
+    loader's for the same plan.  With a ``mesh`` the uint8 batch is
+    device_put batch-sharded before the augment program, so the (vmapped,
+    sample-independent) augmentation runs data-parallel under XLA SPMD
+    instead of serializing on the default device.
+
+    With ``drop_last=False`` batches are wrap-padded to ONE compiled shape
+    and the loader yields (images, targets, weights) 3-tuples whose
+    weight-0 rows the trainer masks out of the loss (a short tail batch
+    would cost a second jitted program — minutes on a remote-compile TPU
+    path).
     """
 
     def __init__(
@@ -149,6 +236,7 @@ class DeviceAugmentedLoader:
         shuffle: bool = True,
         drop_last: bool = True,
         augment_config=None,
+        mesh=None,
     ):
         from yolo_v1_tpu.data.device_augment import (
             DeviceAugmentConfig, augment_and_encode_batch,
@@ -159,28 +247,68 @@ class DeviceAugmentedLoader:
         )
         self._augment = augment_and_encode_batch
         self.augment_config = augment_config or DeviceAugmentConfig()
-        self._raw = BatchLoader(
-            dataset, batch_size, shuffle=shuffle, drop_last=drop_last,
-            encode=False, raw=True,
-        )
         self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.mesh = mesh
+        self._pool = ThreadPoolExecutor(max_workers=dataset.config.num_workers)
+        n = len(dataset)
+        self._nb = n // batch_size if drop_last else -(-n // batch_size)
+        self._weighted = (not drop_last) and (n % batch_size != 0)
 
     def __len__(self) -> int:
-        return len(self._raw)
+        return self._nb
+
+    def close(self):
+        self._pool.shutdown(wait=False, cancel_futures=True)
 
     def epoch(self, epoch: int = 0):
         import jax
 
         cfg = self.dataset.config
-        for bi, (images_u8, boxes, labels, counts) in enumerate(
-            self._raw.epoch(epoch)
-        ):
-            key = jax.random.PRNGKey(cfg.seed)
-            key = jax.random.fold_in(jax.random.fold_in(key, epoch), bi)
-            yield self._augment(
+        plan, weights = epoch_plan(
+            cfg.seed, epoch, len(self.dataset), self.batch_size,
+            drop_last=self.drop_last, shuffle=self.shuffle,
+        )
+        put = None
+        if self.mesh is not None:
+            from yolo_v1_tpu.parallel.mesh import data_sharding
+
+            sh = data_sharding(self.mesh)
+            put = lambda a: jax.device_put(a, sh)
+
+        def submit(bi):
+            return [
+                self._pool.submit(self.dataset.load_raw, int(i))
+                for i in plan[bi]
+            ]
+
+        futures = None
+        for bi in range(self._nb):
+            if futures is None:
+                futures = submit(bi)
+            ready = [f.result() for f in futures]
+            futures = submit(bi + 1) if bi + 1 < self._nb else None
+            images_u8, boxes, labels, counts = collate(ready)
+            idx = plan[bi].astype(np.int32)
+            if put is not None:
+                images_u8, boxes, labels, counts, idx = (
+                    put(images_u8), put(boxes), put(labels), put(counts),
+                    put(idx),
+                )
+            key = jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch), bi
+            )
+            imgs, targets = self._augment(
                 key, images_u8, boxes, labels, counts,
                 S=cfg.S, B=cfg.B, C=cfg.C, cfg=self.augment_config,
+                sample_ids=idx,
             )
+            if self._weighted:
+                yield imgs, targets, weights[bi]
+            else:
+                yield imgs, targets
 
 
 class DeviceResidentLoader:
@@ -197,9 +325,18 @@ class DeviceResidentLoader:
     ~9 GB, a fraction of one v5e's HBM, and host decode drops out of the
     throughput equation after epoch one.
 
-    Single-device only (the dataset tensors live unsharded on the default
-    device); pair with ``mesh=None``.  Construct over a
-    ``YoloDataset(train=False)`` like DeviceAugmentedLoader.
+    With a ``mesh`` the dataset is SHARDED over the data-parallel axes:
+    device d holds a contiguous ``shard_len``-row block, every batch draws
+    ``batch_size/D`` rows from EACH block (epoch_plan ``shards``), and
+    gather+augment+encode run per-device with zero collective traffic
+    (device_augment.sharded_gather_augment_encode) — the best feed path
+    scales with the mesh instead of pinning everything to chip 0, and
+    per-device HBM holds only 1/D of the dataset.  Augment keys fold in the
+    global dataset index, so the draws are placement-invariant.
+
+    With ``drop_last=False`` the plan wrap-pads to ONE compiled batch shape
+    and the loader yields (images, targets, weights) 3-tuples (see
+    DeviceAugmentedLoader).  Construct over a ``YoloDataset(train=False)``.
     """
 
     def __init__(
@@ -211,11 +348,14 @@ class DeviceResidentLoader:
         augment_config=None,
         upload_chunk: int = 512,
         logger=None,
+        mesh=None,
     ):
         import jax
         import jax.numpy as jnp
 
-        from yolo_v1_tpu.data.device_augment import DeviceAugmentConfig
+        from yolo_v1_tpu.data.device_augment import (
+            DeviceAugmentConfig, dp_axes_of,
+        )
 
         assert not dataset.train, (
             "use a train=False dataset; augmentation happens on device"
@@ -225,21 +365,56 @@ class DeviceResidentLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.augment_config = augment_config or DeviceAugmentConfig()
+        self.mesh = mesh
 
         n = len(dataset)
         cfg = dataset.config
+        self._shards = (
+            int(np.prod([mesh.shape[a] for a in dp_axes_of(mesh)]))
+            if mesh is not None
+            else 1
+        )
+        self._shard_len = -(-n // self._shards)
+        # The weight pattern is epoch-independent (only the shuffle varies),
+        # so one plan decides batch count and whether rows need masking.
+        plan0, w0 = epoch_plan(
+            cfg.seed, 0, n, batch_size, shards=self._shards,
+            shard_len=self._shard_len, drop_last=drop_last, shuffle=shuffle,
+        )
+        self._nb = plan0.shape[0]
+        self._weighted = bool((w0 == 0.0).any())
+
         boxes = np.zeros((n, MAX_BOXES, 4), np.float32)
         labels = np.zeros((n, MAX_BOXES), np.int32)
         counts = np.zeros((n,), np.int32)
-        parts = []
+        if mesh is not None:
+            self._upload_sharded(dataset, boxes, labels, counts, logger)
+            return
+        # Single device: chunks are written into ONE preallocated device
+        # buffer with a donated dynamic_update_slice, so peak HBM stays ~1x
+        # the dataset (a concatenate of live chunk buffers would transiently
+        # hold ~2x — at real-VOC scale, ~9 GB uint8, that transient would
+        # RESOURCE_EXHAUST a 16 GB v5e).  The buffer is padded to a chunk
+        # multiple so the updater compiles exactly once; the padded tail
+        # rows are never indexed (batch indices are always < n).
+        n_pad = -(-n // upload_chunk) * upload_chunk
+        images = jnp.zeros(
+            (n_pad, cfg.image_size, cfg.image_size, 3), jnp.uint8
+        )
+        update = jax.jit(
+            lambda buf, chunk, start: jax.lax.dynamic_update_slice(
+                buf, chunk, (start, 0, 0, 0)
+            ),
+            donate_argnums=(0,),
+        )
         for start in range(0, n, upload_chunk):
             m = min(upload_chunk, n - start)
             # Fresh buffer per chunk: device_put may transfer asynchronously
             # and jax's host-buffer semantics don't promise the numpy array
             # is consumed before the call returns — reusing one staging
             # buffer across chunks could corrupt in-flight uploads.
-            chunk = np.empty(
-                (m, cfg.image_size, cfg.image_size, 3), np.uint8
+            chunk = np.zeros(
+                (upload_chunk, cfg.image_size, cfg.image_size, 3), np.uint8
             )
             for i in range(m):
                 img, b, l = dataset.load_raw(start + i)
@@ -248,43 +423,107 @@ class DeviceResidentLoader:
                 boxes[start + i, :k] = b[:k]
                 labels[start + i, :k] = l[:k]
                 counts[start + i] = k
-            parts.append(jax.device_put(chunk))
+            images = update(images, jax.device_put(chunk), start)
             if logger:
                 logger.info(
                     "device-resident upload: %d / %d images", start + m, n
                 )
-        self._images = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-        del parts
+        self._images = images
         self._boxes = jax.device_put(boxes)
         self._labels = jax.device_put(labels)
         self._counts = jax.device_put(counts)
 
+    def _upload_sharded(self, dataset, boxes, labels, counts, logger):
+        """Shard-contiguous upload: one host block per data-parallel device,
+        assembled into global sharded arrays via make_array_from_callback —
+        each device receives exactly its block (no cross-device transfer,
+        no transient second copy)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from yolo_v1_tpu.data.device_augment import dp_axes_of
+
+        n, cfg = len(dataset), dataset.config
+        sl, shards = self._shard_len, self._shards
+        n_pad = sl * shards
+        dp = dp_axes_of(self.mesh)
+        sharding = NamedSharding(self.mesh, P(dp if len(dp) > 1 else dp[0]))
+        blocks = []
+        for j in range(shards):
+            block = np.zeros(
+                (sl, cfg.image_size, cfg.image_size, 3), np.uint8
+            )
+            for r in range(min(sl, n - j * sl)):
+                g = j * sl + r
+                img, b, l = dataset.load_raw(g)
+                block[r] = img
+                k = min(len(b), MAX_BOXES)
+                boxes[g, :k] = b[:k]
+                labels[g, :k] = l[:k]
+                counts[g] = k
+            blocks.append(block)
+            if logger:
+                logger.info(
+                    "device-resident upload: shard %d / %d (%d rows)",
+                    j + 1, shards, min(sl, max(0, n - j * sl)),
+                )
+
+        def cb(index):
+            s = index[0]
+            start = 0 if s.start is None else s.start
+            assert start % sl == 0 and (s.stop or n_pad) - start == sl, index
+            return blocks[start // sl]
+
+        shape = (n_pad, cfg.image_size, cfg.image_size, 3)
+        self._images = jax.make_array_from_callback(shape, sharding, cb)
+        pad = ((0, n_pad - n),) + ((0, 0),) * (boxes.ndim - 1)
+        self._boxes = jax.device_put(np.pad(boxes, pad[:3]), sharding)
+        self._labels = jax.device_put(np.pad(labels, pad[:2]), sharding)
+        self._counts = jax.device_put(np.pad(counts, pad[:1]), sharding)
+
     def __len__(self) -> int:
-        n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return self._nb
 
     def epoch(self, epoch: int = 0):
         import jax
         import jax.numpy as jnp
 
-        from yolo_v1_tpu.data.device_augment import gather_augment_encode
+        from yolo_v1_tpu.data.device_augment import (
+            gather_augment_encode, sharded_gather_augment_encode,
+        )
 
         cfg = self.dataset.config
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            np.random.default_rng(
-                np.random.SeedSequence([cfg.seed, epoch, 7919])
-            ).shuffle(order)
-        for bi in range(len(self)):
-            idx = order[bi * self.batch_size : (bi + 1) * self.batch_size]
+        plan, weights = epoch_plan(
+            cfg.seed, epoch, len(self.dataset), self.batch_size,
+            shards=self._shards, shard_len=self._shard_len,
+            drop_last=self.drop_last, shuffle=self.shuffle,
+        )
+        if self.mesh is not None:
+            from yolo_v1_tpu.parallel.mesh import data_sharding
+
+            sh = data_sharding(self.mesh)
+        for bi in range(self._nb):
             key = jax.random.fold_in(
                 jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch), bi
             )
-            yield gather_augment_encode(
-                key, self._images, self._boxes, self._labels, self._counts,
-                jnp.asarray(idx, jnp.int32),
-                S=cfg.S, B=cfg.B, C=cfg.C, cfg=self.augment_config,
-            )
+            if self.mesh is not None:
+                idx = jax.device_put(plan[bi], sh)
+                out = sharded_gather_augment_encode(
+                    key, self._images, self._boxes, self._labels,
+                    self._counts, idx,
+                    mesh=self.mesh, shard_len=self._shard_len,
+                    S=cfg.S, B=cfg.B, C=cfg.C, cfg=self.augment_config,
+                )
+            else:
+                out = gather_augment_encode(
+                    key, self._images, self._boxes, self._labels,
+                    self._counts, jnp.asarray(plan[bi]),
+                    S=cfg.S, B=cfg.B, C=cfg.C, cfg=self.augment_config,
+                )
+            if self._weighted:
+                yield out[0], out[1], weights[bi]
+            else:
+                yield out
 
 
 class BatchLoader:
@@ -312,6 +551,9 @@ class BatchLoader:
         self.encode = encode
         self.raw = raw
         self._pool = ThreadPoolExecutor(max_workers=dataset.config.num_workers)
+
+    def close(self):
+        self._pool.shutdown(wait=False, cancel_futures=True)
 
     def __len__(self) -> int:
         n = len(self.dataset)

@@ -174,11 +174,10 @@ class VocEvaluator:
         # With device_cache, every (padded) eval batch is uploaded ONCE and
         # reused across epochs — the test set is fixed, so after the first
         # eval the feed costs zero H2D bytes (the dev relay moves ~20 MB/s,
-        # making the per-epoch 460 MB re-upload the eval bottleneck).
-        # Single-device only, like DeviceResidentLoader.
-        self._device_cache: dict | None = (
-            {} if (device_cache and mesh is None) else None
-        )
+        # making the per-epoch 460 MB re-upload the eval bottleneck).  Under
+        # a mesh the cached entries are batch-sharded device arrays, so the
+        # cache composes with multi-chip eval unchanged.
+        self._device_cache: dict | None = {} if device_cache else None
         # The compiled batch shape must divide the mesh; round up and let
         # the host-side trim (below) drop the padded rows' detections.
         n_mesh = mesh.devices.size if mesh is not None else 1
@@ -237,7 +236,16 @@ class VocEvaluator:
                     device_images = jnp.asarray(images)
                 if self._device_cache is not None:
                     self._device_cache[cache_key] = (device_images, ids)
-            if start + bs < n and self._device_cache is None:
+            if start + bs < n and (
+                self._device_cache is None
+                or (start + bs, min(start + 2 * bs, n))
+                not in self._device_cache
+            ):
+                # Prefetch whenever the NEXT batch isn't already device-
+                # cached — on the cold first eval pass the cache is empty,
+                # and skipping prefetch there would serialize every decode
+                # against the device (the load/compute overlap would only
+                # kick in from epoch two).
                 pending = self._pool.submit(self._load_batch, start + bs, n)
             boxes, scores, classes, keep = jax.tree.map(
                 np.asarray, self.detector(state, device_images)
@@ -252,6 +260,11 @@ class VocEvaluator:
             logger=self.logger,
         )
         return mAP
+
+    def close(self):
+        """Shut down the decode worker pool (a long-lived process embedding
+        many evaluators must not leak executors)."""
+        self._pool.shutdown(wait=False, cancel_futures=True)
 
     def little_map(self, state: TrainState) -> float:
         return self._run(state, self.little_n, self.gt_little)

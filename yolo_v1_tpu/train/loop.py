@@ -199,7 +199,13 @@ def _fit_epochs(
             info("Starting epoch %d / %d", epoch + 1, config.num_epochs)
             epoch_start = time.perf_counter()
             losses, n_batches = [], 0
-            for i, (images, targets) in enumerate(train_loader_fn(epoch)):
+            for i, batch in enumerate(train_loader_fn(epoch)):
+                # Loaders yield (images, targets) or — when rows are wrap-
+                # padded to keep one compiled shape (epoch_plan) — a
+                # (images, targets, weights) 3-tuple whose weight-0 rows are
+                # masked out of the loss.
+                images, targets = batch[0], batch[1]
+                row_w = batch[2] if len(batch) == 3 else None
                 if profile_dir and epoch == start_epoch:
                     if i == 2 and not profiling:
                         jax.profiler.start_trace(profile_dir)
@@ -211,7 +217,7 @@ def _fit_epochs(
                 if step_fn is None:
                     padded = images.shape[0] % mesh_n != 0
                     step_fn = jit_train_step(
-                        loss_config, mesh, weighted=padded
+                        loss_config, mesh, weighted=padded or row_w is not None
                     )
                     if padded:
                         info(
@@ -226,8 +232,14 @@ def _fit_epochs(
                     weights = (
                         np.arange(images_p.shape[0]) < n_real
                     ).astype(np.float32)
+                    if row_w is not None:
+                        weights[:n_real] *= np.asarray(row_w)
                     state, parts = step_fn(
                         state, put(images_p), put(targets_p), put(weights)
+                    )
+                elif row_w is not None:
+                    state, parts = step_fn(
+                        state, put(images), put(targets), put(row_w)
                     )
                 else:
                     state, parts = step_fn(state, put(images), put(targets))
@@ -310,7 +322,12 @@ def _fit_epochs(
                     info("new best test mAP %.5f", test_map)
                     checkpointer.save(state, epoch=epoch, best=True, extras=extras)
                 if config.save_every_epoch:
-                    checkpointer.save(state, epoch=epoch, best=False, extras=extras)
+                    # Async: the write drains during the next epoch's
+                    # compute (the manager serializes overlapping saves).
+                    checkpointer.save(
+                        state, epoch=epoch, best=False, extras=extras,
+                        block=False,
+                    )
             if metric_writer and hasattr(metric_writer, "render_html"):
                 metric_writer.render_html()
     except KeyboardInterrupt:
