@@ -54,6 +54,29 @@ def test_best_and_latest_are_separate(tmp_path):
     assert ex_best["best_map"] == 0.5
 
 
+def test_history_retention_and_async_save(tmp_path):
+    """history_keep=2 retains the two newest epoch_NNNN copies (older ones
+    pruned), restore(path=...) loads a retained copy, and non-blocking
+    saves drain through wait()."""
+    import os
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), history_keep=2)
+    for e in range(4):
+        state = _state().replace(step=jnp.asarray(e * 10, jnp.int32))
+        mgr.save(state, epoch=e, best=False, block=False)
+    mgr.wait()
+    dirs = sorted(
+        d for d in os.listdir(tmp_path / "ckpt") if d.startswith("epoch_")
+    )
+    assert dirs == ["epoch_0002", "epoch_0003"]
+    restored, epoch, _ = mgr.restore(
+        _state(), path=str(tmp_path / "ckpt" / "epoch_0002")
+    )
+    assert epoch == 2 and int(restored.step) == 20
+    _, latest_epoch, _ = mgr.restore(_state())
+    assert latest_epoch == 3  # 'latest' still tracks the newest save
+
+
 def test_interrupted_first_epoch_saves_minus_one(tmp_path):
     """Interrupt during epoch 0 must record 'no epoch completed' (-1) so
     resume re-runs epoch 0 instead of skipping its remainder."""

@@ -131,6 +131,19 @@ def quantize_state(
             ):
                 return next_fn(*args, **kwargs_)
             key = _path_key(m.path)
+            # The hand-built int8 conv below forwards strides/padding/groups
+            # but NOT bias or dilation — every conv in models/common.py is
+            # bias-free and undilated, so fail loudly if a future conv isn't
+            # (silently dropping a bias would serve wrong results).
+            if m.use_bias:
+                raise NotImplementedError(
+                    f"int8 interceptor: conv {key} has use_bias=True"
+                )
+            for dil in (m.kernel_dilation, m.input_dilation):
+                if dil not in (None, 1) and tuple(np.atleast_1d(dil)) != (1, 1):
+                    raise NotImplementedError(
+                        f"int8 interceptor: conv {key} is dilated ({dil})"
+                    )
             x = args[0]
             s_x = q["x_scales"][key]
             xq = jnp.clip(

@@ -111,6 +111,15 @@ def pallas_assignment(
     # padding dominates VMEM: at CH=64/S=7 (cells=49) the scoped allocation
     # measures 17.33 MB against the 16 MB limit (hardware Mosaic compile
     # error), so budget CH*cells <= 32*49 and clamp to the actual batch.
+    if cells > 32 * 49 // 8:
+        # The minimum sublane granule (CH=8) already blows the measured
+        # 16 MB Mosaic VMEM budget (CH*cells <= 1568): at S=20, CH=8 holds
+        # 3200 cell-rows ~ 2x budget.  Unreachable at S∈{7,14}; fail with a
+        # pointer instead of a cryptic Mosaic compile error.
+        raise ValueError(
+            f"pallas assignment: S={S} ({cells} cells) exceeds the VMEM "
+            "budget at the minimum 8-image chunk; use assignment_impl='xla'"
+        )
     CH = max(8, (32 * 49 // cells) // 8 * 8)
     CH = min(CH, -(-N // 8) * 8)
     pad = (-N) % CH

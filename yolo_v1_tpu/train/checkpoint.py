@@ -29,11 +29,21 @@ from yolo_v1_tpu.train.state import TrainState
 
 
 class CheckpointManager:
-    """Minimal latest/best checkpoint manager over Orbax."""
+    """Latest/best checkpoint manager over Orbax.
 
-    def __init__(self, base_path: str):
+    ``history_keep > 0`` additionally writes an ``epoch_NNNN`` copy per
+    save and prunes to the newest k (top-k retention; the reference keeps
+    only one rolling .pth + best.pth, train.py:204-209 — history is the
+    production upgrade).  ``save(..., block=False)`` leaves the Orbax write
+    in flight so the next epoch's compute overlaps the checkpoint I/O;
+    writes are serialized against each other and ``wait()`` (or the next
+    blocking save) drains them.
+    """
+
+    def __init__(self, base_path: str, history_keep: int = 0):
         self.base_path = os.path.abspath(base_path)
         os.makedirs(self.base_path, exist_ok=True)
+        self.history_keep = history_keep
         self._ckptr = ocp.StandardCheckpointer()
 
     def _payload(self, state: TrainState) -> dict:
@@ -57,6 +67,7 @@ class CheckpointManager:
         epoch: int,
         best: bool = False,
         extras: dict | None = None,
+        block: bool = True,
     ) -> None:
         """``epoch`` is the LAST COMPLETED epoch (-1 = none completed)."""
         payload = self._payload(state)
@@ -64,30 +75,69 @@ class CheckpointManager:
         payload.update(self._EXTRA_DEFAULTS)
         if extras:
             payload.update({k: float(v) for k, v in extras.items()})
+        # Serialize with any still-running async save (Orbax refuses
+        # overlapping writes; the common case — one pending 'latest' from
+        # the previous epoch — has had a whole epoch to finish).
+        self._ckptr.wait_until_finished()
         self._ckptr.save(self.path(best), payload, force=True)
+        if self.history_keep > 0 and not best and epoch >= 0:
+            self._ckptr.wait_until_finished()
+            self._ckptr.save(
+                os.path.join(self.base_path, f"epoch_{epoch:04d}"),
+                payload, force=True,
+            )
+            self._prune_history(in_flight=epoch)
+        if block:
+            self._ckptr.wait_until_finished()
+
+    def _prune_history(self, in_flight: int) -> None:
+        import re as _re
+        import shutil
+
+        # The save just dispatched may still be a tmp dir (Orbax renames on
+        # completion), so count it explicitly; only ever delete *visible*
+        # old dirs.
+        on_disk = {
+            int(m.group(1))
+            for d in os.listdir(self.base_path)
+            if (m := _re.match(r"^epoch_(\d+)$", d))
+        }
+        epochs = sorted(on_disk | {in_flight})
+        for e in epochs[: max(0, len(epochs) - self.history_keep)]:
+            if e in on_disk:
+                shutil.rmtree(
+                    os.path.join(self.base_path, f"epoch_{e:04d}"),
+                    ignore_errors=True,
+                )
+
+    def wait(self) -> None:
+        """Drain any in-flight async save (call before process exit)."""
         self._ckptr.wait_until_finished()
 
     def restore(
-        self, state: TrainState, best: bool = False
+        self, state: TrainState, best: bool = False, path: str | None = None
     ) -> tuple[TrainState, int, dict]:
         """Restore into the structure of ``state``.
 
-        Returns (state, last_completed_epoch, extras) — extras carries the
-        persisted best/last-little mAP gates.
+        ``path`` overrides the latest/best selection (e.g. a retained
+        ``epoch_NNNN`` history directory).  Returns (state,
+        last_completed_epoch, extras) — extras carries the persisted
+        best/last-little mAP gates.
         """
+        target = path if path is not None else self.path(best)
         template = self._payload(state)
         template["epoch"] = 0
         template.update(self._EXTRA_DEFAULTS)
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
         try:
-            restored = self._ckptr.restore(self.path(best), abstract)
+            restored = self._ckptr.restore(target, abstract)
         except ValueError:
             # Checkpoints written before the mAP gates were added lack the
             # extras keys and orbax refuses a mismatched template; retry
             # without them (the .get defaults below fill them in).
             for k in self._EXTRA_DEFAULTS:
                 abstract.pop(k)
-            restored = self._ckptr.restore(self.path(best), abstract)
+            restored = self._ckptr.restore(target, abstract)
         new_state = state.replace(
             step=restored["step"],
             params=restored["params"],
