@@ -24,6 +24,38 @@ def test_generate_image_boxes_in_bounds():
         assert 0.0 < cy - h / 2 and cy + h / 2 < 1.0
 
 
+def test_generate_image_hard_tier_properties():
+    """The hard tier must actually be hard: small objects present, denser
+    scenes, overlaps allowed (VERDICT r2 weak #5 — the easy tier saturates
+    above mAP 0.96 by epoch ~10)."""
+    sizes, counts, max_iou = [], [], 0.0
+    for seed in range(40):
+        rng = np.random.default_rng(seed)
+        img, boxes = generate_image(rng, image_size=224, hard=True)
+        assert img.shape == (224, 224, 3)
+        counts.append(len(boxes))
+        rects = []
+        for cls, cx, cy, w, h in boxes:
+            assert 0 <= cls < 20
+            assert 0.0 < cx - w / 2 and cx + w / 2 < 1.0
+            assert 0.0 < cy - h / 2 and cy + h / 2 < 1.0
+            sizes.append(w * h)
+            rects.append((cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2))
+        from yolo_v1_tpu.data.synthetic import _iou
+
+        for i in range(len(rects)):
+            for j in range(i + 1, len(rects)):
+                max_iou = max(max_iou, _iou(rects[i], rects[j]))
+    sizes = np.array(sizes)
+    assert (sizes < 0.02).mean() > 0.25, "small-object regime missing"
+    assert max(counts) >= 8, "dense scenes missing"
+    assert max_iou > 0.15, "occlusions missing (easy tier caps IoU at .15)"
+    # Hard and easy tiers draw from disjoint streams — different pixels.
+    e = generate_image(np.random.default_rng(0), image_size=224)[0]
+    h = generate_image(np.random.default_rng(0), image_size=224, hard=True)[0]
+    assert not np.array_equal(e, h)
+
+
 def test_generate_dataset_tree_and_pipeline_compat(tmp_path):
     counts = generate_dataset(
         str(tmp_path), n_train=6, n_test=4, image_size=112
