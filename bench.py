@@ -136,6 +136,13 @@ def main() -> None:
         log(f"train bench at bs128 failed ({type(e).__name__}); retrying bs64")
         train_ips, train_ms = bench_train_step(batch=64)
 
+    gc.collect()
+    try:
+        e2e_ips, aug_ms = bench_train_e2e()
+    except Exception as e:
+        log(f"e2e train bench failed ({type(e).__name__}: {e}); omitting")
+        e2e_ips, aug_ms = 0.0, 0.0
+
     print(
         json.dumps(
             {
@@ -147,6 +154,8 @@ def main() -> None:
                 "int8_vs_baseline": round(int8_ips / BASELINE_IPS, 2),
                 "train_imgs_per_sec": round(train_ips, 1),
                 "train_ms_per_step": round(train_ms, 2),
+                "train_e2e_imgs_per_sec": round(e2e_ips, 1),
+                "augment_ms_per_batch": round(aug_ms, 2),
             }
         )
     )
@@ -201,6 +210,103 @@ def bench_train_step(batch: int = 128, iters: int = 15) -> tuple[float, float]:
     per = (tn - t1) / iters
     log(f"train: {per * 1e3:.2f}ms/step, {batch / per:.1f} images/sec")
     return batch / per, per * 1e3
+
+
+def bench_train_e2e(
+    batch: int = 32, n_data: int = 512, iters: int = 10
+) -> tuple[float, float]:
+    """END-TO-END training throughput: HBM-resident uint8 dataset ->
+    gather + device augmentation (banded affine warp, pixel ops, HSV,
+    blur) + normalize + target encode -> full train step, per batch.
+
+    This is the number a real `cli train --device_resident` epoch runs at
+    in steady state (the reference's YOLODataLoader.py:69-76 augmentation
+    hot loop + train.py:144-209 step, fused on-device).  Round-2 measured
+    86 img/s realized with the per-pixel gather warp; the augment program
+    itself was 244 ms/batch (225 ms the warp gather — XProf table in
+    docs/DESIGN.md).  Also returns the augment program's own ms/batch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_v1_tpu.data.device_augment import (
+        DeviceAugmentConfig, gather_augment_encode,
+    )
+    from yolo_v1_tpu.data.pipeline import MAX_BOXES, epoch_plan
+    from yolo_v1_tpu.losses.yolov1 import YoloV1LossConfig
+    from yolo_v1_tpu.models.registry import build_model
+    from yolo_v1_tpu.train.loop import jit_train_step
+    from yolo_v1_tpu.train.schedule import make_lr_schedule
+    from yolo_v1_tpu.train.state import create_train_state, make_optimizer
+
+    S = 7
+    rng = np.random.default_rng(0)
+    images_all = jnp.asarray(
+        rng.integers(0, 255, (n_data, 448, 448, 3)).astype(np.uint8)
+    )
+    boxes_all = np.zeros((n_data, MAX_BOXES, 4), np.float32)
+    boxes_all[:, 0] = [0.5, 0.5, 0.4, 0.4]
+    boxes_all[:, 1] = [0.25, 0.25, 0.2, 0.2]
+    boxes_all = jnp.asarray(boxes_all)
+    labels_all = jnp.asarray(
+        rng.integers(0, 20, (n_data, MAX_BOXES)).astype(np.int32)
+    )
+    counts_all = jnp.asarray(np.full((n_data,), 2, np.int32))
+    acfg = DeviceAugmentConfig()
+
+    model = build_model("resnet50", S=S, dtype=jnp.bfloat16)
+    tx = make_optimizer(make_lr_schedule(100, 1e-6, 1000, {1: 1e-3}), "sgd", 0.99)
+    state = create_train_state(model, __import__("jax").random.PRNGKey(0),
+                               (1, 448, 448, 3), tx)
+    step = jit_train_step(YoloV1LossConfig(S=S), mesh=None)
+
+    plan, _ = epoch_plan(0, 0, n_data, batch)
+    plans = [jnp.asarray(plan[i % plan.shape[0]]) for i in range(2)]
+    key = jax.random.PRNGKey(0)
+
+    def feed(i):
+        return gather_augment_encode(
+            jax.random.fold_in(key, i), images_all, boxes_all, labels_all,
+            counts_all, plans[i % 2], S=S, B=2, C=20, cfg=acfg,
+        )
+
+    t0 = time.perf_counter()
+    imgs, tgts = feed(0)
+    state, parts = step(state, imgs, tgts)
+    float(parts["total"])
+    log(f"e2e compile+first: {time.perf_counter() - t0:.1f}s")
+
+    state_box = [state]
+
+    def chain(n: int) -> float:
+        t0 = time.perf_counter()
+        st, parts = state_box[0], None
+        for i in range(n):
+            imgs, tgts = feed(i)
+            st, parts = step(st, imgs, tgts)
+        float(parts["total"])
+        state_box[0] = st
+        return time.perf_counter() - t0
+
+    t1 = min(chain(1) for _ in range(2))
+    tn = min(chain(iters + 1) for _ in range(2))
+    per = (tn - t1) / iters
+    log(f"e2e train: {per * 1e3:.2f}ms/batch, {batch / per:.1f} images/sec")
+
+    # Augment program alone (the input-pipeline share of the e2e time).
+    def aug_chain(n: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for i in range(n):
+            out = feed(i)
+        np.asarray(out[1][:1])
+        return time.perf_counter() - t0
+
+    a1 = min(aug_chain(1) for _ in range(2))
+    an = min(aug_chain(iters + 1) for _ in range(2))
+    aug_ms = (an - a1) / iters * 1e3
+    log(f"augment program: {aug_ms:.2f}ms/batch at bs{batch}")
+    return batch / per, aug_ms
 
 
 if __name__ == "__main__":
