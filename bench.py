@@ -104,7 +104,11 @@ def main() -> None:
     # over bf16 at mAP parity (0.99839 vs 0.99842 on the synthetic run).
     from yolo_v1_tpu.eval.quantize import calibrate, quantize_state
 
-    qstate = quantize_state(state, calibrate(state, [np.asarray(images)]))
+    # Two varied calibration batches (round-2 used one — the scales were
+    # hostage to a single draw).
+    qstate = quantize_state(
+        state, calibrate(state, [np.asarray(images), np.asarray(images2)])
+    )
     t0 = time.perf_counter()
     np.asarray(detector(qstate, images)[1])
     log(f"int8 compile+first batch: {time.perf_counter() - t0:.1f}s")

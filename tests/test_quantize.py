@@ -96,6 +96,34 @@ def test_quantized_forward_tracks_f32(name):
     assert np.abs(got - want).mean() < 0.02
 
 
+def test_per_conv_quant_error_report():
+    """The per-layer accounting: isolated rel-L2 error per conv on the f32
+    forward's own activations.  Small everywhere on a sane calibration; the
+    lattice conv from the exactness test reports ~0; a sabotaged scale is
+    flagged on exactly the conv it belongs to."""
+    from yolo_v1_tpu.eval.quantize import per_conv_quant_error
+
+    model = build_model("tiny", S=7)
+    state = _state(model)
+    rng = np.random.default_rng(4)
+    images = rng.normal(0, 1, (2, 112, 112, 3)).astype(np.float32)
+    amax = calibrate(state, [images])
+    errs = per_conv_quant_error(state, amax, images)
+    assert set(errs) == set(amax)
+    assert all(0 <= v < 0.1 for v in errs.values()), errs
+
+    # Sabotage one conv's activation scale 100x: only that conv's isolated
+    # error explodes (errors don't propagate — each conv gets f32 inputs).
+    victim = sorted(amax)[len(amax) // 2]
+    bad = dict(amax)
+    bad[victim] = amax[victim] * 100.0
+    errs_bad = per_conv_quant_error(state, bad, images)
+    assert errs_bad[victim] > 0.3, errs_bad[victim]
+    for k, v in errs_bad.items():
+        if k != victim:
+            assert v == pytest.approx(errs[k], abs=1e-5)
+
+
 def test_quantized_state_drives_detector_and_evaluator():
     from yolo_v1_tpu.eval.voc_map import make_detector
 

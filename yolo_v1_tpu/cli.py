@@ -223,16 +223,37 @@ def cmd_train(argv: list[str]) -> int:
     return 0
 
 
-def _quantize_for_serving(state, test_ds, logger, n_calib: int = 64):
-    """int8-quantize the serving forward: calibrate activation scales on the
-    first test images, then swap every conv for the W8A8 path (the shim
+def _quantize_for_serving(
+    state, test_ds, logger, n_calib: int = 64, calib_batches: int = 8
+):
+    """int8-quantize the serving forward: calibrate activation scales over
+    ``calib_batches`` varied batches of test images (a single batch was the
+    round-2 weakness — one unlucky batch sets every scale), log the
+    per-conv isolated |f32-int8| output error so a bad scale is visible
+    BEFORE it costs mAP, then swap every conv for the W8A8 path (the shim
     state drives detector/evaluator/predictor unchanged)."""
-    from yolo_v1_tpu.eval.quantize import calibrate, quantize_state
+    from yolo_v1_tpu.eval.quantize import (
+        calibrate, per_conv_quant_error, quantize_state,
+    )
 
     n = min(n_calib, len(test_ds))
-    batch = np.stack([test_ds.load_sample(i)[0] for i in range(n)])
-    amax = calibrate(state, [batch])
-    logger.info("int8: calibrated %d convs on %d images", len(amax), n)
+    imgs = np.stack([test_ds.load_sample(i)[0] for i in range(n)])
+    bs = max(1, n // min(calib_batches, n))
+    # Full batches only: a ragged tail would be a second compiled shape
+    # (minutes on a remote-compile TPU path).
+    batches = [imgs[i : i + bs] for i in range(0, n - n % bs, bs)]
+    amax = calibrate(state, batches)
+    logger.info(
+        "int8: calibrated %d convs over %d batches (%d images)",
+        len(amax), len(batches), n,
+    )
+    errs = per_conv_quant_error(state, amax, imgs[: min(8, n)])
+    worst = sorted(errs.items(), key=lambda kv: -kv[1])[:5]
+    logger.info(
+        "int8: per-conv rel-L2 error median %.4f max %.4f; worst: %s",
+        float(np.median(list(errs.values()))), worst[0][1],
+        ", ".join(f"{k}={v:.4f}" for k, v in worst),
+    )
     return quantize_state(state, amax)
 
 
@@ -376,7 +397,16 @@ def cmd_predict(argv: list[str]) -> int:
             calib.append(
                 (img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
             )
-        state = quantize_state(state, calibrate(state, [np.stack(calib)]))
+        stacked = np.stack(calib)
+        bs = max(1, len(stacked) // min(8, len(stacked)))
+        state = quantize_state(
+            state,
+            calibrate(
+                state,
+                [stacked[i : i + bs]
+                 for i in range(0, len(stacked) - len(stacked) % bs, bs)],
+            ),
+        )
         logger.info("int8: serving quantized forward")
         apply_fn = state.apply_fn
 

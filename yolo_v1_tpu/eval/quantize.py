@@ -131,43 +131,11 @@ def quantize_state(
             ):
                 return next_fn(*args, **kwargs_)
             key = _path_key(m.path)
-            # The hand-built int8 conv below forwards strides/padding/groups
-            # but NOT bias or dilation — every conv in models/common.py is
-            # bias-free and undilated, so fail loudly if a future conv isn't
-            # (silently dropping a bias would serve wrong results).
-            if m.use_bias:
-                raise NotImplementedError(
-                    f"int8 interceptor: conv {key} has use_bias=True"
-                )
-            for dil in (m.kernel_dilation, m.input_dilation):
-                if dil not in (None, 1) and tuple(np.atleast_1d(dil)) != (1, 1):
-                    raise NotImplementedError(
-                        f"int8 interceptor: conv {key} is dilated ({dil})"
-                    )
             x = args[0]
-            s_x = q["x_scales"][key]
-            xq = jnp.clip(
-                jnp.round(x.astype(jnp.float32) / s_x), -127, 127
-            ).astype(jnp.int8)
-            strides = (
-                m.strides
-                if isinstance(m.strides, (tuple, list))
-                else (m.strides or 1,) * 2
-            )
-            padding = m.padding
-            if isinstance(padding, int):
-                padding = ((padding, padding),) * 2
-            y = jax.lax.conv_general_dilated(
-                xq,
-                q["kernels"][key],
-                window_strides=tuple(strides),
-                padding=padding,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=m.feature_group_count,
-                preferred_element_type=jnp.int32,
-            )
-            scale = s_x * q["w_scales"][key]  # [co]
-            return (y.astype(jnp.float32) * scale).astype(m.dtype or x.dtype)
+            return _int8_conv(
+                m, key, x, q["kernels"][key],
+                q["x_scales"][key], q["w_scales"][key],
+            ).astype(m.dtype or x.dtype)
 
         with nn.intercept_methods(interceptor):
             return model_apply(
@@ -181,3 +149,100 @@ def quantize_state(
         apply_fn=quantized_apply,
         params={_REAL: state.params, _QUANT: qpack},
     )
+
+
+def _int8_conv(m, key: str, x, kernel_i8, s_x, s_w):
+    """The W8A8 conv: quantize the activation with the static scale, run the
+    int8 conv accumulating in int32, dequantize per output channel.  Shared
+    by the serving interceptor and the error report so both measure the
+    same op.  Forwards strides/padding/groups but NOT bias or dilation —
+    every conv in models/common.py is bias-free and undilated, so fail
+    loudly if a future conv isn't (silently dropping a bias would serve
+    wrong results)."""
+    if m.use_bias:
+        raise NotImplementedError(
+            f"int8 interceptor: conv {key} has use_bias=True"
+        )
+    for dil in (m.kernel_dilation, m.input_dilation):
+        if dil not in (None, 1) and tuple(np.atleast_1d(dil)) != (1, 1):
+            raise NotImplementedError(
+                f"int8 interceptor: conv {key} is dilated ({dil})"
+            )
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / s_x), -127, 127
+    ).astype(jnp.int8)
+    strides = (
+        m.strides
+        if isinstance(m.strides, (tuple, list))
+        else (m.strides or 1,) * 2
+    )
+    padding = m.padding
+    if isinstance(padding, int):
+        padding = ((padding, padding),) * 2
+    y = jax.lax.conv_general_dilated(
+        xq,
+        kernel_i8,
+        window_strides=tuple(strides),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=m.feature_group_count,
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * (s_x * s_w)
+
+
+def per_conv_quant_error(
+    state: TrainState, act_amax: dict[str, float], images
+) -> dict[str, float]:
+    """Per-conv isolated quantization error: for every conv, run the W8A8
+    op on the FULL-PRECISION forward's own input activation and compare
+    against the full-precision output — relative L2 per conv, one jitted
+    pass.  Isolation (no error propagation between layers) makes a bad
+    activation scale directly attributable; use it to vet a calibration
+    before it costs mAP (VERDICT r2 weak #6: one-batch calibration had no
+    per-layer accounting)."""
+    params = jax.device_get(state.params)
+
+    def lookup(path):
+        node = params
+        for p in path:
+            node = node[p]
+        return np.asarray(node["kernel"], np.float32)
+
+    consts = {}
+    for path in _conv_kernel_paths(params):
+        key = _path_key(path)
+        w = lookup(path)
+        s_w = np.maximum(
+            np.abs(w).reshape(-1, w.shape[-1]).max(0), 1e-8
+        ) / 127.0
+        consts[key] = (
+            jnp.asarray(np.clip(np.rint(w / s_w), -127, 127).astype(np.int8)),
+            jnp.asarray(np.float32(max(act_amax[key], 1e-8) / 127.0)),
+            jnp.asarray(s_w),
+        )
+
+    def fwd(variables, images):
+        errs: dict[str, jax.Array] = {}
+
+        def interceptor(next_fn, args, kwargs, context):
+            m = context.module
+            y = next_fn(*args, **kwargs)
+            if isinstance(m, nn.Conv) and context.method_name == "__call__":
+                key = _path_key(m.path)
+                k_i8, s_x, s_w = consts[key]
+                yq = _int8_conv(m, key, args[0], k_i8, s_x, s_w)
+                y32 = y.astype(jnp.float32)
+                errs[key] = jnp.sqrt(
+                    jnp.sum((yq - y32) ** 2) / (jnp.sum(y32**2) + 1e-12)
+                )
+            return y
+        with nn.intercept_methods(interceptor):
+            state.apply_fn(variables, images, train=False)
+        return errs
+
+    out = jax.jit(fwd)(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(images),
+    )
+    return {k: float(v) for k, v in jax.device_get(out).items()}
