@@ -141,8 +141,20 @@ def main() -> None:
         train_ips, train_ms = bench_train_step(batch=64)
 
     gc.collect()
+    # Subprocess isolation: the serving + bs128 phases leave the 16 GB chip
+    # fragmented enough to RESOURCE_EXHAUST the e2e stage's augment
+    # intermediates (measured); a fresh process gets a clean HBM and its
+    # programs come from the compilation cache.
+    import subprocess
+
     try:
-        e2e_ips, aug_ms = bench_train_e2e()
+        out = subprocess.run(
+            [sys.executable, __file__, "--e2e"],
+            capture_output=True, text=True, timeout=3000,
+        )
+        log(out.stderr[-2000:])
+        e2e = json.loads(out.stdout.strip().splitlines()[-1])
+        e2e_ips, aug_ms = e2e["e2e_ips"], e2e["aug_ms"]
     except Exception as e:
         log(f"e2e train bench failed ({type(e).__name__}: {e}); omitting")
         e2e_ips, aug_ms = 0.0, 0.0
@@ -314,4 +326,8 @@ def bench_train_e2e(
 
 
 if __name__ == "__main__":
-    main()
+    if "--e2e" in sys.argv:
+        ips, aug = bench_train_e2e()
+        print(json.dumps({"e2e_ips": ips, "aug_ms": aug}))
+    else:
+        main()

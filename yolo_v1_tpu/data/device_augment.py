@@ -66,11 +66,19 @@ class DeviceAugmentConfig:
     # under rotation and exactly when rotation is 0).
     warp_impl: str = "band"
     warp_chunk: int = 64  # gather-row width (pixels); must divide the image
+    # Peak-HBM bound: augment at most this many images at once (lax.map
+    # over sub-batches).  The band warp's gather intermediates cost
+    # ~0.5 GB/image in XLA temp HBM (AOT memory_analysis: 16.4 GB at bs32
+    # — layout-conversion copies of the [rows, Wc*C] tap tensors), so an
+    # unchunked batch cannot share a 16 GB chip with the train step.
+    # 0 disables chunking.
+    batch_chunk: int = 8
 
     def __post_init__(self):
-        if self.warp_impl not in ("band", "gather"):
+        if self.warp_impl not in ("band", "gather", "pallas"):
             raise ValueError(
-                f"warp_impl must be 'band' or 'gather', got {self.warp_impl!r}"
+                f"warp_impl must be 'band', 'gather' or 'pallas', "
+                f"got {self.warp_impl!r}"
             )
 
 
@@ -211,12 +219,20 @@ def _resample_axis0(
     tap = base[..., None] + jnp.arange(D, dtype=jnp.int32)  # [H, nc, D]
     flat = src.reshape(H * nc, Wc * C)
     idx = jnp.clip(tap, 0, H - 1) * nc + jnp.arange(nc)[None, :, None]
+    # Every big intermediate keeps the flattened [Wc*C]-wide pixel rows as
+    # its MINOR dim: a [..., Wc, C] layout puts C=3 in the lane dim and TPU
+    # pads 3 -> 128 lanes, which measured 16.4 GB temp HBM for this whole
+    # program at bs32 (42x blowup, AOT memory_analysis) vs ~1.5 GB flat.
     taps = jnp.take(flat, idx.reshape(-1), axis=0)
-    taps = taps.reshape(H, nc, D, Wc, C)
+    taps = taps.reshape(H, nc, D, Wc * C)
     tap_f = tap[..., None].astype(jnp.float32)  # [H, nc, D, 1]
     wgt = jnp.maximum(0.0, 1.0 - jnp.abs(p_c[:, :, None, :] - tap_f))
     wgt = wgt * ((tap[..., None] >= 0) & (tap[..., None] <= H - 1))
-    out = jnp.sum(taps * wgt[..., None], axis=2)  # [H, nc, Wc, C]
+    # flat's element order within a row is pixel-major (w0: c0 c1 c2, w1:
+    # ...), so the per-element weight is each per-pixel weight repeated C
+    # consecutive times.
+    wgt_wide = jnp.repeat(wgt, C, axis=-1)  # [H, nc, D, Wc*C]
+    out = jnp.sum(taps * wgt_wide, axis=2)  # [H, nc, Wc*C]
     return out.reshape(H, W, C)
 
 
@@ -484,9 +500,26 @@ def augment_and_encode_batch(
         keys = jax.random.split(key, N)
     else:
         keys = jax.vmap(partial(jax.random.fold_in, key))(sample_ids)
-    imgs, aug_boxes, aug_valid = jax.vmap(
-        partial(_augment_one, cfg=cfg)
-    )(keys, imgs, boxes, valid)
+    aug = jax.vmap(partial(_augment_one, cfg=cfg))
+    bc = cfg.batch_chunk
+    if bc and bc < N and N % bc == 0:
+        # Serialize over sub-batches to bound the warp's temp HBM (see
+        # DeviceAugmentConfig.batch_chunk); the augment program is
+        # bandwidth-bound, so the serialization costs little.
+        chunked = (
+            imgs.reshape(N // bc, bc, *imgs.shape[1:]),
+            keys.reshape(N // bc, bc, *keys.shape[1:]),
+            boxes.reshape(N // bc, bc, M, 4),
+            valid.reshape(N // bc, bc, M),
+        )
+        imgs, aug_boxes, aug_valid = jax.lax.map(
+            lambda t: aug(t[1], t[0], t[2], t[3]), chunked
+        )
+        imgs = imgs.reshape(N, *imgs.shape[2:])
+        aug_boxes = aug_boxes.reshape(N, M, 4)
+        aug_valid = aug_valid.reshape(N, M)
+    else:
+        imgs, aug_boxes, aug_valid = aug(keys, imgs, boxes, valid)
     imgs = (imgs - IMAGENET_MEAN) / IMAGENET_STD
 
     # encode_targets takes counts; emulate an arbitrary validity mask by
