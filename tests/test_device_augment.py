@@ -148,6 +148,101 @@ def test_band_warp_matches_gather_warp(rng):
     )
 
 
+def test_pallas_warp_matches_band_warp(rng):
+    """The Pallas banded row-resample kernel (interpret mode on CPU) vs the
+    XLA band warp: same decomposition, same coefficient algebra, same exact
+    1-D bilinear semantics — outputs must agree to f32 rounding for every
+    draw in the config family, including the gate-folded identity."""
+    from yolo_v1_tpu.data.device_augment import (
+        _affine_params, _pallas_warp_bounds, _warp_image_band,
+    )
+    from yolo_v1_tpu.ops.pallas.warp_kernel import warp_image_band_pallas
+
+    size = 112  # % 8 == 0 (sublane granule)
+    cfg = DeviceAugmentConfig()
+    cc_a, cc_b, cr_max = _pallas_warp_bounds(cfg)
+    img = jnp.asarray(rng.uniform(0, 1, (size, size, 3)).astype(np.float32))
+
+    rss, offs = [], []
+    for seed in range(4):
+        rs, off = _affine_params(jax.random.PRNGKey(seed), size, cfg)
+        rss.append(rs)
+        offs.append(off)
+    rss.append(jnp.eye(2))  # gate-folded identity draw
+    offs.append(jnp.zeros(2))
+    rs_b = jnp.stack(rss)
+    off_b = jnp.stack(offs)
+    imgs = jnp.broadcast_to(img, (len(rss), size, size, 3))
+
+    got = np.asarray(
+        warp_image_band_pallas(
+            imgs, rs_b, off_b, cc_a=cc_a, cc_b=cc_b, cr_max=cr_max,
+            interpret=True,
+        )
+    )
+    for i in range(len(rss)):
+        want = np.asarray(_warp_image_band(img, rs_b[i], off_b[i], cfg))
+        np.testing.assert_allclose(got[i], want, atol=2e-5, err_msg=f"draw {i}")
+    # Identity must be an exact pass-through (weight 1.0 on the integer tap).
+    np.testing.assert_array_equal(got[-1], np.asarray(img))
+
+
+def test_pallas_warp_bounds_cover_param_family(rng):
+    """The static |coefficient| bounds that size the Pallas tap window must
+    dominate every coefficient the affine-param sampler can draw."""
+    from yolo_v1_tpu.data.device_augment import (
+        _affine_params, _pallas_warp_bounds,
+    )
+
+    cfg = DeviceAugmentConfig()
+    cc_a, cc_b, cr_max = _pallas_warp_bounds(cfg)
+    for seed in range(50):
+        rs, _ = _affine_params(jax.random.PRNGKey(seed), 112, cfg)
+        a = np.asarray(jnp.linalg.inv(rs))
+        assert abs(a[1, 0] / a[0, 0]) <= cc_a + 1e-6  # pass A c_col
+        assert abs(a[0, 1]) <= cc_b + 1e-6  # pass B c_col
+        cy_u = a[1, 1] - a[1, 0] * a[0, 1] / a[0, 0]
+        assert abs(cy_u) <= cr_max + 1e-6  # pass A c_row
+        assert abs(a[0, 0]) <= cr_max + 1e-6  # pass B c_row
+
+
+def test_pallas_augment_matches_band_augment(rng):
+    """warp_impl='pallas' end to end through augment_and_encode_batch: same
+    keys → same draws; only the warp kernel differs, so images agree to f32
+    rounding and targets exactly (box math never touches the kernel)."""
+    images, boxes, labels, counts = make_batch(rng, n=4, size=112)
+    cfg_b = dataclasses.replace(DeviceAugmentConfig(), warp_impl="band")
+    cfg_p = dataclasses.replace(DeviceAugmentConfig(), warp_impl="pallas")
+    key = jax.random.PRNGKey(11)
+    img_b, tgt_b = augment_and_encode_batch(
+        key, images, boxes, labels, counts, S=7, cfg=cfg_b
+    )
+    img_p, tgt_p = augment_and_encode_batch(
+        key, images, boxes, labels, counts, S=7, cfg=cfg_p
+    )
+    np.testing.assert_allclose(
+        np.asarray(img_p), np.asarray(img_b), atol=2e-4
+    )
+    np.testing.assert_array_equal(np.asarray(tgt_p), np.asarray(tgt_b))
+
+
+def test_pallas_augment_fallback_unaligned_height(rng):
+    """H % 8 != 0 falls back to the band warp inside the same jit — results
+    must be identical to warp_impl='band' bit for bit."""
+    images, boxes, labels, counts = make_batch(rng, n=2, size=84)
+    cfg_b = dataclasses.replace(DeviceAugmentConfig(), warp_impl="band")
+    cfg_p = dataclasses.replace(DeviceAugmentConfig(), warp_impl="pallas")
+    key = jax.random.PRNGKey(12)
+    img_b, tgt_b = augment_and_encode_batch(
+        key, images, boxes, labels, counts, S=7, cfg=cfg_b
+    )
+    img_p, tgt_p = augment_and_encode_batch(
+        key, images, boxes, labels, counts, S=7, cfg=cfg_p
+    )
+    np.testing.assert_array_equal(np.asarray(img_p), np.asarray(img_b))
+    np.testing.assert_array_equal(np.asarray(tgt_p), np.asarray(tgt_b))
+
+
 def test_hsv_roundtrip(rng):
     rgb = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
     back = hsv_to_rgb(rgb_to_hsv(rgb))

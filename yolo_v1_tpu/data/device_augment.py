@@ -56,15 +56,21 @@ class DeviceAugmentConfig:
     dropout_rates: tuple[float, float] = (0.05, 0.2)
     replace_rate: float = 0.05
     hsv_shift: tuple[float, float] = (-10 / 255, 50 / 255)
-    # Affine-warp implementation.  'band': two-pass banded row-resample —
-    # one gather of WIDE [warp_chunk*3] pixel rows per (row, chunk, tap)
-    # instead of the per-pixel 4-corner gather, which XProf measured at
-    # 225 ms per 32-image batch (~6x the largest conv; 12-byte gather rows
-    # are latency-bound on TPU — docs/DESIGN.md XProf table).  'gather':
-    # the original exact per-pixel bilinear warp (kept as the semantic
-    # reference; the band warp matches it to ~1e-1 pixel-value tolerance
-    # under rotation and exactly when rotation is 0).
-    warp_impl: str = "band"
+    # Affine-warp implementation.  'pallas': the banded row-resample as a
+    # TPU kernel (ops/pallas/warp_kernel.py) — whole image in VMEM per
+    # grid step, no giant gather intermediates (0.08 GB temp HBM at bs32
+    # vs the band warp's 16.4 GB unchunked).  'band': two-pass banded
+    # row-resample in XLA — one gather of WIDE [warp_chunk*3] pixel rows
+    # per (row, chunk, tap) instead of the per-pixel 4-corner gather,
+    # which XProf measured at 225 ms per 32-image batch (~6x the largest
+    # conv; 12-byte gather rows are latency-bound on TPU — docs/DESIGN.md
+    # XProf table).  'gather': the original exact per-pixel bilinear warp
+    # (kept as the semantic reference; the band warp matches it to ~1e-1
+    # pixel-value tolerance under rotation and exactly when rotation is
+    # 0; the pallas warp matches the band warp to f32 rounding).
+    # 'auto' (default): 'pallas' on TPU, 'band' elsewhere (interpret-mode
+    # Pallas on CPU is orders of magnitude slower than the XLA band).
+    warp_impl: str = "auto"
     warp_chunk: int = 64  # gather-row width (pixels); must divide the image
     # Peak-HBM bound: augment at most this many images at once (lax.map
     # over sub-batches).  The band warp's gather intermediates cost
@@ -75,9 +81,9 @@ class DeviceAugmentConfig:
     batch_chunk: int = 8
 
     def __post_init__(self):
-        if self.warp_impl not in ("band", "gather", "pallas"):
+        if self.warp_impl not in ("auto", "band", "gather", "pallas"):
             raise ValueError(
-                f"warp_impl must be 'band', 'gather' or 'pallas', "
+                f"warp_impl must be 'auto', 'band', 'gather' or 'pallas', "
                 f"got {self.warp_impl!r}"
             )
 
@@ -234,6 +240,30 @@ def _resample_axis0(
     wgt_wide = jnp.repeat(wgt, C, axis=-1)  # [H, nc, D, Wc*C]
     out = jnp.sum(taps * wgt_wide, axis=2)  # [H, nc, Wc*C]
     return out.reshape(H, W, C)
+
+
+def _pallas_warp_bounds(
+    cfg: DeviceAugmentConfig,
+) -> tuple[float, float, float]:
+    """Static |coefficient| bounds for the Pallas warp kernel, from the
+    config's parameter ranges.  With a = inv(R(θ) S(sx,sy)) =
+    [[cosθ/sx, sinθ/sx], [-sinθ/sy, cosθ/sy]]:
+
+    * pass A c_col = a10/a00 = -tanθ·sx/sy     → |·| ≤ tanθ·smax/smin
+    * pass B c_col = a01 = sinθ/sx             → |·| ≤ sinθ/smin
+    * pass A c_row = a11 - a10·a01/a00 = 1/(cosθ·sy), pass B c_row =
+      a00 = cosθ/sx                            → |·| ≤ 1/(cosθ·smin)
+
+    The gate-folded identity params (c_row=1) are within the c_row bound.
+    """
+    theta = np.deg2rad(
+        max(abs(cfg.rotate_range[0]), abs(cfg.rotate_range[1]))
+    )
+    smin, smax = cfg.scale_range
+    cc_a = float(np.tan(theta) * smax / smin)
+    cc_b = float(np.sin(theta) / smin)
+    cr_max = float(1.0 / (np.cos(theta) * smin))
+    return cc_a, cc_b, cr_max
 
 
 def _band_taps(cfg: DeviceAugmentConfig, Wc: int) -> tuple[int, int]:
@@ -405,13 +435,17 @@ def _pixel_ops(key: Array, img: Array, cfg: DeviceAugmentConfig) -> Array:
     return jnp.clip(out, 0.0, 1.0)
 
 
-def _augment_one(
+def _augment_pre(
     key: Array,
     img: Array,  # [H, W, 3] float in [0,1]
     boxes: Array,  # [M, 4] cxcywh normalized (padded)
-    valid: Array,  # [M] bool
     cfg: DeviceAugmentConfig,
-) -> tuple[Array, Array, Array]:
+):
+    """Flips + affine draw + box transform — everything before the image
+    warp.  Returns the flipped image, gate-folded warp params (identity
+    when the affine gate is off — both band and Pallas resamples are
+    bit-exact at identity), transformed pixel-space xyxy boxes, and the
+    pixel-ops key for ``_augment_post``."""
     size = img.shape[0]
     k_lr, k_ud, k_aff_gate, k_aff, k_pix = jax.random.split(key, 5)
 
@@ -441,17 +475,21 @@ def _augment_one(
 
     do_affine = jax.random.uniform(k_aff_gate) < cfg.affine_prob
     rs, offset = _affine_params(k_aff, size, cfg)
-    if cfg.warp_impl == "band":
-        # Fold the gate into the params: the band resample is bit-exact at
-        # identity (weight 1.0 on the integer tap), so ungated samples pass
-        # through unchanged without a second full-image select.
-        rs_eff = jnp.where(do_affine, rs, jnp.eye(2))
-        off_eff = jnp.where(do_affine, offset, jnp.zeros(2))
-        img = _warp_image_band(img, rs_eff, off_eff, cfg)
-    else:
-        img = jnp.where(do_affine, _warp_image(img, rs, offset), img)
+    rs_eff = jnp.where(do_affine, rs, jnp.eye(2))
+    off_eff = jnp.where(do_affine, offset, jnp.zeros(2))
     xyxy = jnp.where(do_affine, _transform_boxes_affine(xyxy, rs, offset), xyxy)
+    return img, rs_eff, off_eff, do_affine, xyxy, k_pix
 
+
+def _augment_post(
+    k_pix: Array,
+    img: Array,  # [H, W, 3] warped
+    xyxy: Array,  # [M, 4] pixel-space
+    valid: Array,  # [M] bool
+    cfg: DeviceAugmentConfig,
+) -> tuple[Array, Array, Array]:
+    """Pixel ops + box cleanup — everything after the image warp."""
+    size = img.shape[0]
     img = _pixel_ops(k_pix, img, cfg)
 
     # Remove fully-outside boxes; clip the rest (YOLODataLoader.py:172).
@@ -468,6 +506,33 @@ def _augment_one(
         axis=1,
     ) / size
     return img, out_boxes, valid
+
+
+def _augment_one(
+    key: Array,
+    img: Array,  # [H, W, 3] float in [0,1]
+    boxes: Array,  # [M, 4] cxcywh normalized (padded)
+    valid: Array,  # [M] bool
+    cfg: DeviceAugmentConfig,
+) -> tuple[Array, Array, Array]:
+    """Per-sample augment for the vmapped ('band'/'gather') warp impls; the
+    'pallas' impl runs the warp at batch level between the same pre/post
+    stages (see ``augment_and_encode_batch``)."""
+    img, rs_eff, off_eff, do_affine, xyxy, k_pix = _augment_pre(
+        key, img, boxes, cfg
+    )
+    if cfg.warp_impl != "gather":
+        # 'pallas'/'auto' reach here only via the H % 8 / CPU fallback in
+        # augment_and_encode_batch; band is the matching exact resample.
+        # Gate folded into the params: the band resample is bit-exact at
+        # identity (weight 1.0 on the integer tap), so ungated samples pass
+        # through unchanged without a second full-image select.
+        img = _warp_image_band(img, rs_eff, off_eff, cfg)
+    else:
+        img = jnp.where(
+            do_affine, _warp_image(img, rs_eff, off_eff), img
+        )
+    return _augment_post(k_pix, img, xyxy, valid, cfg)
 
 
 @partial(jax.jit, static_argnames=("S", "B", "C", "cfg"))
@@ -500,8 +565,35 @@ def augment_and_encode_batch(
         keys = jax.random.split(key, N)
     else:
         keys = jax.vmap(partial(jax.random.fold_in, key))(sample_ids)
-    aug = jax.vmap(partial(_augment_one, cfg=cfg))
-    bc = cfg.batch_chunk
+    impl = cfg.warp_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "band"
+    use_pallas = impl == "pallas" and imgs.shape[1] % 8 == 0
+    if use_pallas:
+        # Batch-level Pallas warp between the vmapped pre/post stages: the
+        # whole image stays in VMEM per grid step, so there are no giant
+        # gather intermediates and no batch chunking is needed (the band
+        # warp's 16.4 GB temp at bs32 is 0.08 GB here, AOT
+        # memory_analysis).  Falls back to 'band' when H isn't a sublane
+        # multiple (same semantics, both exact 1-D bilinear).
+        from yolo_v1_tpu.ops.pallas.warp_kernel import warp_image_band_pallas
+
+        cc_a, cc_b, cr_max = _pallas_warp_bounds(cfg)
+        interp = jax.default_backend() not in ("tpu", "axon")
+
+        def aug(keys, imgs, boxes, valid):
+            pre = jax.vmap(partial(_augment_pre, cfg=cfg))
+            imgs, rs_eff, off_eff, _, xyxy, kpix = pre(keys, imgs, boxes)
+            imgs = warp_image_band_pallas(
+                imgs, rs_eff, off_eff,
+                cc_a=cc_a, cc_b=cc_b, cr_max=cr_max, interpret=interp,
+            )
+            post = jax.vmap(partial(_augment_post, cfg=cfg))
+            return post(kpix, imgs, xyxy, valid)
+
+    else:
+        aug = jax.vmap(partial(_augment_one, cfg=cfg))
+    bc = 0 if use_pallas else cfg.batch_chunk
     if bc and bc < N and N % bc == 0:
         # Serialize over sub-batches to bound the warp's temp HBM (see
         # DeviceAugmentConfig.batch_chunk); the augment program is
