@@ -70,43 +70,72 @@ def capture(batch: int, out_dir: str) -> None:
     log(f"trace written to {out_dir}")
 
 
-def parse(out_dir: str, top: int = 40) -> None:
-    """Print per-op device self-times from the captured xplane."""
+def parse(out_dir: str, top: int = 40, nsteps: int = 6) -> None:
+    """Print per-op device self-times from the captured xplane.
+
+    xprof's framework_op_stats is a LIST of gviz tables (with/without idle);
+    normalize the first into dicts keyed by column id, keep Device rows,
+    divide by the number of profiled steps, and attribute each op to a
+    stage (fwd / bwd / BN / loss / optimizer) from its jit scope path.
+    """
     from xprof.convert import raw_to_tool_data as rtd
 
     files = glob.glob(f"{out_dir}/plugins/profile/*/*.xplane.pb")
     assert files, f"no xplane under {out_dir}"
     out, _ = rtd.xspace_to_tool_data(files, "framework_op_stats", {})
-    rows = json.loads(out) if isinstance(out, (str, bytes)) else out
-    # framework_op_stats returns a list-of-dicts table (gviz json in some
-    # versions); normalize both shapes.
-    if isinstance(rows, dict) and "data" in rows:
-        cols = [c["label"] for c in rows["cols"]]
+    data = json.loads(out) if isinstance(out, (str, bytes)) else out
+    if isinstance(data, dict):
+        data = data.get("data", data)
+    if isinstance(data, list) and data and "cols" in data[0]:
+        table = data[0]
+        cols = [c.get("id") or c.get("label") for c in table["cols"]]
         rows = [
             {cols[i]: (c or {}).get("v") for i, c in enumerate(r["c"])}
-            for r in rows["rows"]
+            for r in table["rows"]
         ]
-    device = [r for r in rows if str(r.get("host_or_device", "")).lower()
-              .startswith("device") or "device" in str(r.get("Host/device", "")).lower()]
-    if not device:
-        device = rows
-    key_time = next(
-        (k for k in ("total_self_time_in_us", "self_time_us",
-                     "Total self-time (us)", "avg_self_time_in_us")
-         if device and k in device[0]),
-        None,
+    else:
+        rows = data
+    device = [
+        r for r in rows
+        if str(r.get("host_or_device", "")).lower().startswith("device")
+    ]
+
+    def stage_of(name: str) -> str:
+        if "transpose(jvp" in name:
+            return "bwd"
+        if "/sgd/" in name or "apply_gradients" in name or "add_any" in name:
+            return "optimizer"
+        if "yolo_v1_loss" in name or "/loss" in name:
+            return "loss"
+        if "batch_norm" in name or "/bn" in name or "moving_" in name:
+            return "bn-stats"
+        if "jvp(ResNet" in name or "ResNet" in name or "conv" in name:
+            return "fwd"
+        return "other"
+
+    total_us = sum(float(r.get("total_self_time", 0) or 0) for r in device)
+    print(
+        f"total device self time: {total_us / 1e3 / nsteps:.2f} ms/step "
+        f"over {nsteps} steps ({len(device)} device ops)"
     )
-    key_name = next(
-        (k for k in ("op_name", "Operation", "name") if device and k in device[0]),
-        None,
-    )
-    log(f"columns: {list(device[0].keys()) if device else '??'}")
-    device.sort(key=lambda r: -float(r.get(key_time, 0) or 0))
-    total = sum(float(r.get(key_time, 0) or 0) for r in device)
-    print(f"total device self time: {total / 1e3:.2f} ms over trace")
+    stages: dict[str, float] = {}
+    for r in device:
+        stages.setdefault(stage_of(str(r.get("operation", ""))), 0.0)
+        stages[stage_of(str(r.get("operation", "")))] += float(
+            r.get("total_self_time", 0) or 0
+        )
+    for s, us in sorted(stages.items(), key=lambda kv: -kv[1]):
+        print(f"stage {s:>9}: {us / 1e3 / nsteps:8.2f} ms/step "
+              f"({100 * us / total_us:5.1f}%)")
+    device.sort(key=lambda r: -float(r.get("total_self_time", 0) or 0))
+    print(f"top {top} ops (ms/step):")
     for r in device[:top]:
-        t = float(r.get(key_time, 0) or 0)
-        print(f"{t / 1e3:9.3f} ms  {100 * t / total:5.1f}%  {r.get(key_name)}")
+        t = float(r.get("total_self_time", 0) or 0) / 1e3 / nsteps
+        flops = float(r.get("measured_flop_rate", 0) or 0)
+        print(
+            f"{t:9.3f} ms  {100 * float(r.get('total_self_time', 0) or 0) / total_us:5.1f}%  "
+            f"{flops / 1e12:6.1f} TF/s  {r.get('operation')}"
+        )
 
 
 if __name__ == "__main__":
