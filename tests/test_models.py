@@ -129,3 +129,43 @@ def test_densenet_remat_and_tiny_rejects():
     assert m.apply(v, x, train=False).shape == (1, 14, 14, 30)
     with pytest.raises(ValueError):
         build_model("tiny", S=7, remat=True)
+
+
+def test_conv1x1_dot_matches_conv_lowering():
+    """Conv1x1Dot (the matmul lowering of 1x1 convs, models/common.py) vs
+    the plain nn.Conv lowering: identical param tree, matching outputs and
+    grads, including the stride-2 downsample case (a strided 1x1 conv IS a
+    subsample + matmul)."""
+    from yolo_v1_tpu.models import common
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, (2, 16, 16, 24)).astype(np.float32)
+    )
+    for stride in (1, 2):
+        mods = []
+        for flag in (True, False):
+            old = common.CONV1X1_DOT
+            common.CONV1X1_DOT = flag
+            try:
+                mods.append(common.conv(8, 1, stride, dtype=jnp.float32))
+            finally:
+                common.CONV1X1_DOT = old
+        dot_m, conv_m = mods
+        v = dot_m.init(jax.random.PRNGKey(1), x)
+        v2 = conv_m.init(jax.random.PRNGKey(1), x)
+        assert jax.tree.structure(v) == jax.tree.structure(v2)
+        np.testing.assert_array_equal(
+            np.asarray(v["params"]["kernel"]), np.asarray(v2["params"]["kernel"])
+        )
+        out_d = dot_m.apply(v, x)
+        out_c = conv_m.apply(v, x)
+        assert out_d.shape == out_c.shape
+        np.testing.assert_allclose(
+            np.asarray(out_d), np.asarray(out_c), atol=1e-5
+        )
+        g_d = jax.grad(lambda p: jnp.sum(dot_m.apply(p, x) ** 2))(v)
+        g_c = jax.grad(lambda p: jnp.sum(conv_m.apply(p, x) ** 2))(v)
+        np.testing.assert_allclose(
+            np.asarray(g_d["params"]["kernel"]),
+            np.asarray(g_c["params"]["kernel"]), rtol=1e-4, atol=1e-4,
+        )

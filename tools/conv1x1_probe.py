@@ -60,6 +60,40 @@ def dot_fn(x, w):
     return out.reshape(N, H, W, -1)
 
 
+def stem_probe() -> None:
+    """Stem space-to-depth probe (ROADMAP bound ~2.5%; VERDICT r2 item 2):
+    the 7x7-stride-2 stem conv on 3-channel 448px input vs the equivalent
+    4x4-stride-1 conv on a 2x2 space-to-depth plane (12 dense channels —
+    1.3x the FLOPs but no 3->8 channel padding on the MXU contraction).
+    Includes the s2d reshape in the timed program."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (128, 448, 448, 3)), jnp.bfloat16)
+    w7 = jnp.asarray(rng.normal(0, 0.05, (7, 7, 3, 64)), jnp.bfloat16)
+    w4 = jnp.asarray(rng.normal(0, 0.05, (4, 4, 12, 64)), jnp.bfloat16)
+
+    def stem_conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def stem_s2d(x, w):
+        n, h, ww, c = x.shape
+        x = x.reshape(n, h // 2, 2, ww // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, ww // 2, 4 * c)
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    tc = time_fwdbwd(stem_conv, x, w7)
+    ts = time_fwdbwd(stem_s2d, x, w4)
+    log(
+        f"stem 448px bs128: conv7x7s2 {tc * 1e3:.2f}ms  "
+        f"s2d+conv4x4 {ts * 1e3:.2f}ms  speedup x{tc / ts:.2f}"
+    )
+
+
 def main() -> None:
     rng = np.random.default_rng(0)
     cases = [
@@ -82,4 +116,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--stem" in sys.argv:
+        stem_probe()
+    else:
+        main()

@@ -23,6 +23,51 @@ from flax import linen as nn
 Dtype = Any
 
 
+# Optional matmul lowering for 1x1 convs (Conv1x1Dot below) — measured
+# NEGATIVE in the full train step, default off.  Isolated on v5e at bs128
+# (tools/conv1x1_probe.py, fwd+bwd) the dot formulation is 1.64x faster
+# than conv_general_dilated on >=512-input-channel shapes (layer2-style
+# 512->128 @56px: 39 -> 64 TF/s) and neutral on the bandwidth-bound early
+# shapes; but the FULL bs128 train step regresses 216.6 -> 223.3 ms
+# (591 -> 573 img/s): the reshape to [N*H*W, C] is a fusion boundary, so
+# the residual adds / BN / relu that XLA folds into conv epilogues get
+# materialized separately, costing more than the matmul saves.  Kept
+# selectable for future layouts; params are identical so checkpoints are
+# interchangeable either way.
+CONV1X1_DOT = False
+
+
+class Conv1x1Dot(nn.Conv):
+    """A 1x1 bias-free conv computed as one [N*H*W, Cin] @ [Cin, F] matmul.
+
+    Same parameter name/shape as ``nn.Conv`` (``kernel`` [1,1,Cin,F]), so
+    checkpoints, the torch importer, and the int8 interceptor (which
+    matches ``isinstance(m, nn.Conv)`` and re-lowers the op itself) all see
+    an ordinary conv.  A stride just subsamples the input plane first —
+    for a 1x1 window the two are exactly the same computation.  XLA lowers
+    the dot (and its transposes in the backward pass) straight onto the
+    MXU without the conv path's layout conversions.
+    """
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert not self.use_bias and self.feature_group_count == 1
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (1, 1, x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+        s = self.strides
+        sh, sw = s if isinstance(s, (tuple, list)) else (s or 1, s or 1)
+        if sh != 1 or sw != 1:
+            x = x[:, ::sh, ::sw, :]
+        n, h, w, c = x.shape
+        out = jnp.dot(x.reshape(n * h * w, c), kernel.reshape(c, -1))
+        return out.reshape(n, h, w, self.features)
+
+
 def conv(
     features: int,
     kernel: int,
@@ -31,9 +76,13 @@ def conv(
     dtype: Dtype = jnp.float32,
     name: str | None = None,
 ) -> nn.Conv:
-    """Bias-free conv with 'same'-style explicit padding (torch semantics)."""
+    """Bias-free conv with 'same'-style explicit padding (torch semantics).
+
+    1x1 ungrouped convs use the ``Conv1x1Dot`` matmul lowering (see the
+    ``CONV1X1_DOT`` note above)."""
     pad = (kernel - 1) // 2
-    return nn.Conv(
+    cls = Conv1x1Dot if (kernel == 1 and groups == 1 and CONV1X1_DOT) else nn.Conv
+    return cls(
         features=features,
         kernel_size=(kernel, kernel),
         strides=(stride, stride),
