@@ -180,6 +180,35 @@ def fit(
 
 
 
+def _emit_log_window(
+    pending, epoch, config, metric_writer, lr_schedule, step0, info
+) -> None:
+    """Log one iteration window's loss parts (already-computed device
+    scalars — see the delayed-window note at the call site) plus the live
+    LR derived from the host-mirrored step counter."""
+    it, parts = pending
+    info(
+        "Epoch [%d/%d], Iter [%d] loss: %.4f",
+        epoch + 1, config.num_epochs, it, float(parts["total"]),
+    )
+    if metric_writer:
+        metric_writer.plot_many(
+            {
+                "location loss": float(parts["location"]),
+                "confidence loss": float(parts["confidence"]),
+                "no object loss": float(parts["no_object"]),
+                "classify loss": float(parts["classify"]),
+            }
+        )
+        if lr_schedule is not None:
+            # Reference plots the live LR every iteration (train.py:162);
+            # one point per log window keeps the series without per-step
+            # host syncs.  step0 + it mirrors state.step without a fetch.
+            metric_writer.plot(
+                "now learning rate", float(lr_schedule(step0 + it))
+            )
+
+
 def _fit_epochs(
     state, train_loader_fn, config, loss_config, mesh, put, result, info,
     evaluator, checkpointer, metric_writer, start_epoch, profile_dir,
@@ -199,6 +228,12 @@ def _fit_epochs(
             info("Starting epoch %d / %d", epoch + 1, config.num_epochs)
             epoch_start = time.perf_counter()
             losses, n_batches = [], 0
+            # Host-mirrored step counter: reading int(state.step) inside the
+            # loop would sync on the LAST dispatched step (a full pipeline
+            # drain through the relay); at epoch start the pipe is empty, so
+            # one fetch here is free and `step0 + i` tracks it exactly.
+            step0 = int(state.step)
+            pending = None  # previous log window's (iter, parts), see below
             for i, batch in enumerate(train_loader_fn(epoch)):
                 # Loaders yield (images, targets) or — when rows are wrap-
                 # padded to keep one compiled shape (epoch_plan) — a
@@ -248,28 +283,25 @@ def _fit_epochs(
                 losses.append(parts["total"])
                 n_batches += 1
                 if (i + 1) % config.log_every == 0:
-                    loss = float(parts["total"])  # one sync per log window
-                    info(
-                        "Epoch [%d/%d], Iter [%d] loss: %.4f",
-                        epoch + 1, config.num_epochs, i + 1, loss,
-                    )
-                    if metric_writer:
-                        metric_writer.plot_many(
-                            {
-                                "location loss": float(parts["location"]),
-                                "confidence loss": float(parts["confidence"]),
-                                "no object loss": float(parts["no_object"]),
-                                "classify loss": float(parts["classify"]),
-                            }
+                    # DELAYED-WINDOW logging: emit the PREVIOUS window's
+                    # scalars, whose device values finished computing while
+                    # this window's steps were dispatched.  Fetching the
+                    # just-dispatched step instead would drain the whole
+                    # dispatch pipeline every window — measured to cap
+                    # realized training at ~40% of the e2e bench rate
+                    # through the relay.  The one-window lag only shifts
+                    # which iteration each log line samples.
+                    if pending is not None:
+                        _emit_log_window(
+                            pending, epoch, config, metric_writer,
+                            lr_schedule, step0, info,
                         )
-                        if lr_schedule is not None:
-                            # Reference plots the live LR every iteration
-                            # (train.py:162); one point per log window keeps
-                            # the series without per-step host syncs.
-                            metric_writer.plot(
-                                "now learning rate",
-                                float(lr_schedule(int(state.step))),
-                            )
+                    pending = (i + 1, parts)
+            if pending is not None:  # flush the last window of the epoch
+                _emit_log_window(
+                    pending, epoch, config, metric_writer, lr_schedule,
+                    step0, info,
+                )
             if profiling:  # loader shorter than the trace window
                 jax.profiler.stop_trace()
                 profiling = False
