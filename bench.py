@@ -237,10 +237,12 @@ def bench_train_e2e(
 
     This is the number a real `cli train --device_resident` epoch runs at
     in steady state (the reference's YOLODataLoader.py:69-76 augmentation
-    hot loop + train.py:144-209 step, fused on-device).  Round-2 measured
-    86 img/s realized with the per-pixel gather warp; the augment program
-    itself was 244 ms/batch (225 ms the warp gather — XProf table in
-    docs/DESIGN.md).  Also returns the augment program's own ms/batch.
+    hot loop + train.py:144-209 step, fused on-device).  History: round 2
+    realized 86 img/s (per-pixel gather warp, 244 ms/batch augment);
+    round 3 measured 122 (banded XLA warp) then **377 img/s** with the
+    Pallas row-resample warp kernel (augment 28 ms/batch — the default
+    `warp_impl='auto'` picks it on TPU).  Also returns the augment
+    program's own ms/batch.
     """
     import jax
     import jax.numpy as jnp
