@@ -205,3 +205,36 @@ def test_restore_pre_gates_checkpoint(tmp_path):
     restored, epoch, extras = mgr.restore(_state())
     assert epoch == 5
     assert extras == {"best_map": 0.0, "last_little_map": 0.0}
+
+
+def test_crash_window_prev_fallback(tmp_path):
+    """A save that dies between Orbax's delete-existing and atomic rename
+    must not lose the only checkpoint.  save() renames the old 'latest' to
+    'latest.prev' before writing; restore()/exists() fall back to it.
+    (Observed live: a relay stall killed the synth_hard run mid-save at
+    epoch 79, leaving only an empty latest.orbax-checkpoint-tmp.)"""
+    import os
+    import shutil
+
+    state = _state()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state, epoch=3, best=False)
+    latest = mgr.path(best=False)
+
+    # Simulate the crash window: target renamed aside, new write unfinished.
+    os.rename(latest, latest + ".prev")
+    os.makedirs(latest + ".orbax-checkpoint-tmp")
+
+    assert mgr.exists()
+    restored, epoch, _ = mgr.restore(_state())
+    assert epoch == 3
+    np.testing.assert_array_equal(
+        np.asarray(restored.step), np.asarray(state.step)
+    )
+
+    # The next successful save replaces the guard and restores normal shape.
+    shutil.rmtree(latest + ".orbax-checkpoint-tmp")
+    mgr.save(state.replace(step=jnp.asarray(9, jnp.int32)), epoch=4)
+    assert os.path.isdir(latest) and not os.path.isdir(latest + ".prev")
+    _, epoch, _ = mgr.restore(_state())
+    assert epoch == 4

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 from typing import Any, Mapping
 
 import jax
@@ -79,7 +80,19 @@ class CheckpointManager:
         # overlapping writes; the common case — one pending 'latest' from
         # the previous epoch — has had a whole epoch to finish).
         self._ckptr.wait_until_finished()
-        self._ckptr.save(self.path(best), payload, force=True)
+        target = self.path(best)
+        prev = target + ".prev"
+        # Crash-window guard: Orbax's force=True DELETES the existing
+        # target before the tmp-dir write + atomic rename, so a crash (or
+        # a relay stall killing the process — observed live on the
+        # synth_hard run, epoch 79) between delete and rename loses the
+        # only copy.  Rename the old target aside instead; it is removed
+        # once the next write is known durable (the wait above / below).
+        # restore()/exists() fall back to the .prev copy.
+        shutil.rmtree(prev, ignore_errors=True)
+        if os.path.isdir(target):
+            os.rename(target, prev)
+        self._ckptr.save(target, payload, force=True)
         if self.history_keep > 0 and not best and epoch >= 0:
             self._ckptr.wait_until_finished()
             self._ckptr.save(
@@ -89,10 +102,10 @@ class CheckpointManager:
             self._prune_history(in_flight=epoch)
         if block:
             self._ckptr.wait_until_finished()
+            shutil.rmtree(prev, ignore_errors=True)
 
     def _prune_history(self, in_flight: int) -> None:
         import re as _re
-        import shutil
 
         # The save just dispatched may still be a tmp dir (Orbax renames on
         # completion), so count it explicitly; only ever delete *visible*
@@ -124,7 +137,7 @@ class CheckpointManager:
         last_completed_epoch, extras) — extras carries the persisted
         best/last-little mAP gates.
         """
-        target = path if path is not None else self.path(best)
+        target = path if path is not None else self._resolve(self.path(best))
         template = self._payload(state)
         template["epoch"] = 0
         template.update(self._EXTRA_DEFAULTS)
@@ -149,8 +162,15 @@ class CheckpointManager:
         }
         return new_state, int(restored["epoch"]), extras
 
+    def _resolve(self, target: str) -> str:
+        """The live dir, or its ``.prev`` crash-window guard (a save that
+        died between Orbax's delete and its atomic rename — see save())."""
+        if os.path.isdir(target):
+            return target
+        return target + ".prev"
+
     def exists(self, best: bool = False) -> bool:
-        return os.path.isdir(self.path(best))
+        return os.path.isdir(self._resolve(self.path(best)))
 
 
 # ---------------------------------------------------------------------------
