@@ -352,3 +352,59 @@ def test_device_resident_loader_matches_device_augmented(voc_tree):
             np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
             n += 1
         assert n == len(dal)
+
+
+def test_blur_impls_match_band(rng):
+    """'shift' is the same reflect conv as the band matmul (summation order
+    differs -> f32 rounding); 'band_bf16' quantizes operands to bf16 with
+    f32 MXU accumulation (error bound ~bf16 eps of the pixel value)."""
+    from yolo_v1_tpu.data.device_augment import _gaussian_blur
+
+    img = jnp.asarray(rng.uniform(0, 1, (64, 64, 3)).astype(np.float32))
+    for sigma, radius in ((jnp.float32(2.7), 11), (jnp.float32(1.0), 3)):
+        band = np.asarray(_gaussian_blur(img, sigma, radius, impl="band"))
+        shift = np.asarray(_gaussian_blur(img, sigma, radius, impl="shift"))
+        np.testing.assert_allclose(shift, band, atol=2e-5)
+        b16 = np.asarray(_gaussian_blur(img, sigma, radius, impl="band_bf16"))
+        np.testing.assert_allclose(b16, band, atol=2e-2)
+        assert float(np.abs(b16 - band).mean()) < 3e-3
+
+
+def test_gather_rows_pallas_matches_take(rng):
+    """The scalar-prefetch row-copy kernel (interpret mode on CPU) equals
+    jnp.take along axis 0, for the image dtype/rank and the box one."""
+    from yolo_v1_tpu.ops.pallas.gather_kernel import gather_rows_pallas
+
+    data = jnp.asarray(rng.integers(0, 255, (10, 16, 24, 3), np.uint8))
+    idx = jnp.asarray([3, 3, 0, 9, 1], jnp.int32)  # repeats + endpoints
+    out = gather_rows_pallas(data, idx, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(jnp.take(data, idx, axis=0))
+    )
+    boxes = jnp.asarray(rng.uniform(0, 1, (10, 64, 4)).astype(np.float32))
+    out = gather_rows_pallas(boxes, idx, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(jnp.take(boxes, idx, axis=0))
+    )
+
+
+def test_gather_impl_pallas_matches_take_end_to_end(rng):
+    """gather_augment_encode with gather_impl='pallas' (interpret on CPU)
+    is bit-identical to the 'take' path — same keys, same augment."""
+    from yolo_v1_tpu.data.device_augment import gather_augment_encode
+
+    images, boxes, labels, counts = make_batch(rng, n=6, size=112)
+    idx = jnp.asarray([5, 2, 2, 0], jnp.int32)
+    outs = {}
+    for impl in ("take", "pallas"):
+        cfg = dataclasses.replace(DeviceAugmentConfig(), gather_impl=impl)
+        outs[impl] = gather_augment_encode(
+            jax.random.PRNGKey(7), jnp.asarray(images), jnp.asarray(boxes),
+            jnp.asarray(labels), jnp.asarray(counts), idx, S=7, cfg=cfg,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(outs["take"][0]), np.asarray(outs["pallas"][0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs["take"][1]), np.asarray(outs["pallas"][1])
+    )

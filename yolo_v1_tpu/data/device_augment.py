@@ -71,6 +71,21 @@ class DeviceAugmentConfig:
     # 'auto' (default): 'pallas' on TPU, 'band' elsewhere (interpret-mode
     # Pallas on CPU is orders of magnitude slower than the XLA band).
     warp_impl: str = "auto"
+    # Gaussian-blur implementation (see _gaussian_blur): 'band' f32 banded
+    # matmul, 'band_bf16' bf16-operand matmul (f32 accumulation; error
+    # < 1/255 — noise-level for a random augmentation op), 'shift'
+    # reflect-pad + tap-weighted shifted slices on the VPU.  'auto':
+    # 'band_bf16' on TPU (the f32 band matmul measured 8.3 ms/batch at
+    # bs32, 30% of the whole augment program — docs/DESIGN.md), 'band'
+    # elsewhere.
+    blur_impl: str = "auto"
+    # Resident-dataset row-gather implementation (gather_augment_encode):
+    # 'take' jnp.take (XLA gather — measured 6.8 ms per 19 MB bs32 batch,
+    # ~100x off DMA speed), 'pallas' scalar-prefetch row-copy kernel
+    # (ops/pallas/gather_kernel.py).  'auto': 'take' until the kernel is
+    # AOT-verified + measured on hardware (interpret mode does not prove
+    # Mosaic lowerability — round-2 lesson).
+    gather_impl: str = "auto"
     warp_chunk: int = 64  # gather-row width (pixels); must divide the image
     # Peak-HBM bound: augment at most this many images at once (lax.map
     # over sub-batches).  The band warp's gather intermediates cost
@@ -85,6 +100,16 @@ class DeviceAugmentConfig:
             raise ValueError(
                 f"warp_impl must be 'auto', 'band', 'gather' or 'pallas', "
                 f"got {self.warp_impl!r}"
+            )
+        if self.blur_impl not in ("auto", "band", "band_bf16", "shift"):
+            raise ValueError(
+                f"blur_impl must be 'auto', 'band', 'band_bf16' or 'shift', "
+                f"got {self.blur_impl!r}"
+            )
+        if self.gather_impl not in ("auto", "take", "pallas"):
+            raise ValueError(
+                f"gather_impl must be 'auto', 'take' or 'pallas', "
+                f"got {self.gather_impl!r}"
             )
 
 
@@ -326,27 +351,44 @@ def _transform_boxes_affine(xyxy: Array, rs: Array, offset: Array) -> Array:
     return jnp.concatenate([warped.min(axis=1), warped.max(axis=1)], axis=-1)
 
 
-def _gaussian_blur(img: Array, sigma: Array, radius: int = 11) -> Array:
-    """Separable gaussian blur as two banded-matrix matmuls (HWC image).
-
-    ``sigma`` may be traced (the band weights are built from a fixed taps
-    grid); ``radius`` must cover ~3 sigma of the largest sigma used
-    (default 11 covers the imgaug policy's sigma 3.5).  Borders use reflect
-    semantics — zero padding would renormalize mass off-image and darken a
-    radius-wide frame on every blurred sample.
-
-    Why matmuls: a 1-channel depthwise conv runs on the TPU's VPU at
-    terrible utilization; folding the taps into a [size, size] banded
-    matrix turns each pass into a dense matmul the MXU eats (~1 GFLOP per
-    448px image).  The band is built elementwise from an iota grid — the
-    reflect fold adds the tap weight at |row - col| offsets mapped back
-    into range, exactly matching a reflect-padded conv.
-    """
-    size = img.shape[0]
-    assert img.shape[1] == size, "square images only"
+def _blur_taps(sigma: Array, radius: int) -> Array:
+    """Normalized gaussian tap weights over a fixed [-radius, radius] grid
+    (``sigma`` may be traced)."""
     taps = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     k = jnp.exp(-0.5 * (taps / jnp.maximum(sigma, 1e-3)) ** 2)
-    k = k / jnp.sum(k)
+    return k / jnp.sum(k)
+
+
+def _gaussian_blur(
+    img: Array, sigma: Array, radius: int = 11, impl: str = "band"
+) -> Array:
+    """Separable gaussian blur of an HWC image; ``sigma`` may be traced;
+    ``radius`` must cover ~3 sigma of the largest sigma used (default 11
+    covers the imgaug policy's sigma 3.5).  Borders use reflect semantics —
+    zero padding would renormalize mass off-image and darken a radius-wide
+    frame on every blurred sample.
+
+    Implementations (all the same math, summation order/precision differ):
+
+    * ``band``: two banded-matrix matmuls in f32.  A 1-channel depthwise
+      conv runs on the TPU's VPU at terrible utilization; folding the taps
+      into a [size, size] banded matrix turns each pass into a dense matmul
+      the MXU eats (~1 GFLOP per 448px image) — but f32 matmuls run the
+      MXU at 1/8 rate and the band is 95% zeros.
+    * ``band_bf16``: the same matmuls with bf16 operands (f32 MXU
+      accumulation).  ~8x the f32 MXU rate; worst-case error ~bf16 eps of
+      the pixel value (<1/255) — noise-level for an op that is itself a
+      random augmentation.
+    * ``shift``: reflect-pad then a tap-weighted sum of 2*radius+1 shifted
+      slices per axis on the VPU — work scales with the radius (23 or 7
+      taps) instead of the dense 448-wide contraction, and no [size, size]
+      per-image band tensors are built.
+    """
+    if impl == "shift":
+        return _gaussian_blur_shift(img, sigma, radius)
+    size = img.shape[0]
+    assert img.shape[1] == size, "square images only"
+    k = _blur_taps(sigma, radius)
 
     src_i = jnp.arange(size)[None, :]  # source position (band column)
     band = jnp.zeros((size, size), jnp.float32)
@@ -358,8 +400,36 @@ def _gaussian_blur(img: Array, sigma: Array, radius: int = 11) -> Array:
         j = np.where(j >= size, 2 * (size - 1) - j, j)
         band = band + k[t + radius] * (src_i == jnp.asarray(j)[:, None])
     # band[u, i]: weight of source row/col i in output u.
+    if impl == "band_bf16":
+        band = band.astype(jnp.bfloat16)
+        x = jnp.einsum(
+            "uh,hwc->uwc", band, img.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.einsum(
+            "vw,uwc->uvc", band, x.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
     x = jnp.einsum("uh,hwc->uwc", band, img)
     return jnp.einsum("vw,uwc->uvc", band, x)
+
+
+def _gaussian_blur_shift(img: Array, sigma: Array, radius: int = 11) -> Array:
+    """Shift-add separable blur: reflect-pad each axis, then accumulate
+    tap-weighted static slices (the fused-elementwise formulation of the
+    same reflect conv the band matrix encodes)."""
+    size = img.shape[0]
+    assert img.shape[1] == size, "square images only"
+    k = _blur_taps(sigma, radius)
+    p = jnp.pad(img, ((radius, radius), (0, 0), (0, 0)), mode="reflect")
+    x = jnp.zeros_like(img)
+    for t in range(2 * radius + 1):
+        x = x + k[t] * jax.lax.slice_in_dim(p, t, t + size, axis=0)
+    p = jnp.pad(x, ((0, 0), (radius, radius), (0, 0)), mode="reflect")
+    out = jnp.zeros_like(img)
+    for t in range(2 * radius + 1):
+        out = out + k[t] * jax.lax.slice_in_dim(p, t, t + size, axis=1)
+    return out
 
 
 def someof_mask(key: Array, n_ops: int, lo: int = 1, hi: int = 3) -> Array:
@@ -371,6 +441,27 @@ def someof_mask(key: Array, n_ops: int, lo: int = 1, hi: int = 3) -> Array:
     k_n, k_perm = jax.random.split(key)
     n = jax.random.randint(k_n, (), lo, hi + 1)
     return jax.random.permutation(k_perm, n_ops) < n
+
+
+def _resolve_blur_impl(impl: str) -> str:
+    """'auto' -> 'band_bf16' on TPU (8x MXU rate over the f32 band, error
+    < 1/255 — see _gaussian_blur), 'band' elsewhere."""
+    if impl == "auto":
+        return (
+            "band_bf16"
+            if jax.default_backend() in ("tpu", "axon")
+            else "band"
+        )
+    return impl
+
+
+def _resolve_gather_impl(impl: str) -> str:
+    """'auto' -> 'take' everywhere for now: the Pallas row-copy kernel must
+    be AOT-verified + measured on hardware before auto selects it
+    (interpret mode does not prove Mosaic lowerability)."""
+    if impl == "auto":
+        return "take"
+    return impl
 
 
 def _pixel_ops(key: Array, img: Array, cfg: DeviceAugmentConfig) -> Array:
@@ -425,12 +516,15 @@ def _pixel_ops(key: Array, img: Array, cfg: DeviceAugmentConfig) -> Array:
     shifted = hsv_to_rgb(jnp.clip(jnp.where(which, hsv_s, hsv_v), 0.0, 1.0))
     out = jnp.where(gate & act[6], shifted, out)
     # gaussian blur (imgaug GaussianBlur sigma 2-3.5, :40)
+    blur_impl = _resolve_blur_impl(cfg.blur_impl)
     sigma = jax.random.uniform(keys[13], minval=2.0, maxval=3.5)
-    blurred = _gaussian_blur(jnp.clip(out, 0.0, 1.0), sigma)
+    blurred = _gaussian_blur(jnp.clip(out, 0.0, 1.0), sigma, impl=blur_impl)
     out = jnp.where(gate & act[7], blurred, out)
     # sharpen (imgaug Sharpen alpha .1-.8, :37) as unsharp mask
     alpha = jax.random.uniform(keys[14], minval=0.1, maxval=0.8)
-    soft = _gaussian_blur(jnp.clip(out, 0.0, 1.0), jnp.float32(1.0), radius=3)
+    soft = _gaussian_blur(
+        jnp.clip(out, 0.0, 1.0), jnp.float32(1.0), radius=3, impl=blur_impl
+    )
     out = jnp.where(gate & act[8], out + alpha * (out - soft), out)
     return jnp.clip(out, 0.0, 1.0)
 
@@ -623,6 +717,18 @@ def augment_and_encode_batch(
     return imgs, targets
 
 
+def _gather_images(images_all: Array, idx: Array, cfg) -> Array:
+    """Row-gather the image tensor per ``cfg.gather_impl`` (see
+    DeviceAugmentConfig; indices are loader-validated, in-range)."""
+    impl = _resolve_gather_impl(cfg.gather_impl)
+    if impl == "pallas":
+        from yolo_v1_tpu.ops.pallas.gather_kernel import gather_rows_pallas
+
+        interp = jax.default_backend() not in ("tpu", "axon")
+        return gather_rows_pallas(images_all, idx, interpret=interp)
+    return jnp.take(images_all, idx, axis=0)
+
+
 @partial(jax.jit, static_argnames=("S", "B", "C", "cfg"))
 def gather_augment_encode(
     key: Array,
@@ -637,14 +743,19 @@ def gather_augment_encode(
     cfg: DeviceAugmentConfig = DeviceAugmentConfig(),
 ) -> tuple[Array, Array]:
     """Device-resident batch assembly: gather ``idx`` rows from the
-    HBM-resident dataset tensors (an on-chip row gather — microseconds at
-    HBM bandwidth), then augment + normalize + encode, one jitted program.
-    Per step only the [N] index vector crosses the host->device link.
-    Augment keys fold in the global dataset index (see
-    ``augment_and_encode_batch``)."""
+    HBM-resident dataset tensors, then augment + normalize + encode, one
+    jitted program.  Per step only the [N] index vector crosses the
+    host->device link.  Augment keys fold in the global dataset index (see
+    ``augment_and_encode_batch``).
+
+    The image gather runs per ``cfg.gather_impl``: XLA's whole-row uint8
+    gather measured 6.8 ms per 19 MB bs32 batch (~100x off DMA speed);
+    the Pallas scalar-prefetch row copy (ops/pallas/gather_kernel.py)
+    replaces it with N double-buffered block DMAs.  The small per-sample
+    tensors (boxes/labels/counts) stay on jnp.take either way."""
     return augment_and_encode_batch(
         key,
-        jnp.take(images_all, idx, axis=0),
+        _gather_images(images_all, idx, cfg),
         jnp.take(boxes_all, idx, axis=0),
         jnp.take(labels_all, idx, axis=0),
         jnp.take(counts_all, idx, axis=0),
@@ -702,7 +813,7 @@ def sharded_gather_augment_encode(
         li = idx_g - shard * shard_len
         return augment_and_encode_batch(
             key,
-            jnp.take(imgs, li, axis=0),
+            _gather_images(imgs, li, cfg),
             jnp.take(bxs, li, axis=0),
             jnp.take(lbs, li, axis=0),
             jnp.take(cts, li, axis=0),
