@@ -200,6 +200,7 @@ def cmd_train(argv: list[str]) -> int:
                 num_epochs=cfg.num_epochs,
                 run_full_map_threshold=cfg.run_full_map_threshold,
                 log_every=cfg.log_every,
+                watchdog_timeout_s=cfg.watchdog_timeout_s,
             ),
             evaluator=evaluator,
             checkpointer=manager,

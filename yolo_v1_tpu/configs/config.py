@@ -86,6 +86,15 @@ class ExperimentConfig:
     # high-dispatch-latency links (the dev relay) to keep steps pipelined.
     log_every: int = 5
 
+    # Stall watchdog (train/watchdog.py): hard-exit 117 when no training
+    # heartbeat (step / eval / checkpoint boundary) lands for this many
+    # seconds — a wedged device op can block the process forever on relay
+    # TPU paths; a supervisor then resumes from the last completed epoch
+    # (tools/train_supervised.sh).  Must exceed the longest legitimate
+    # gap: first-batch + first-eval remote compiles cost minutes, so use
+    # ~900-1800 s on relay hardware.  0 = off.
+    watchdog_timeout_s: float = 0.0
+
     # Capture a JAX/XProf device trace of steps 2-8 of the first epoch to
     # this directory (train/loop.fit's upgrade over the reference's
     # time.clock() lines, train.py:150-184).

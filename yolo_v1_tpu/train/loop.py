@@ -123,6 +123,12 @@ class FitConfig:
     log_every: int = 5  # train.py:175
     run_full_map_threshold: float = 0.585  # train.py:137 (HEAD side)
     save_every_epoch: bool = True
+    # Stall watchdog (train/watchdog.py): hard-exit STALL_EXIT_CODE when no
+    # step/eval/checkpoint heartbeat lands for this many seconds, so a
+    # supervisor can resume from the last completed epoch.  Must exceed the
+    # longest legitimate gap (first-batch + first-eval remote compiles cost
+    # minutes on relay TPU paths — use ~900-1800 s there).  0 = off.
+    watchdog_timeout_s: float = 0.0
 
 
 @dataclass
@@ -217,6 +223,16 @@ def _fit_epochs(
     profiling = False
     epoch = start_epoch
     completed_epoch = start_epoch - 1  # last epoch whose BATCHES all ran
+    watchdog = None
+    if config.watchdog_timeout_s > 0:
+        from yolo_v1_tpu.train.watchdog import StallWatchdog
+
+        watchdog = StallWatchdog(config.watchdog_timeout_s, log=info).start()
+        info(
+            "stall watchdog armed: %.0fs heartbeat timeout",
+            config.watchdog_timeout_s,
+        )
+    beat = watchdog.beat if watchdog is not None else (lambda: None)
     # The step is built lazily at the first batch: only then do we know
     # whether the batch size divides the mesh (if not, batches are padded
     # and the loss row-masked so every device still gets work).
@@ -282,6 +298,9 @@ def _fit_epochs(
                 # force a host sync per iteration and serialize dispatch.
                 losses.append(parts["total"])
                 n_batches += 1
+                # One heartbeat per step: any host-side freeze (a wedged
+                # device op blocks the next fetch/dispatch) stops these.
+                beat()
                 if (i + 1) % config.log_every == 0:
                     # DELAYED-WINDOW logging: emit the PREVIOUS window's
                     # scalars, whose device values finished computing while
@@ -309,6 +328,7 @@ def _fit_epochs(
             epoch_loss = (
                 float(np.mean(jax.device_get(losses))) if losses else 0.0
             )
+            beat()  # epoch-loss fetch drained the dispatch pipeline
             result.epoch_losses.append(epoch_loss)
             if metric_writer:
                 metric_writer.plot("train loss", epoch_loss)
@@ -325,11 +345,13 @@ def _fit_epochs(
             test_map = 0.0
             if evaluator is not None:
                 little = evaluator.little_map(state)
+                beat()
                 if (
                     little > result.last_little_map
                     and little > config.run_full_map_threshold
                 ):
                     test_map = evaluator.full_map(state)
+                    beat()
                 result.last_little_map = little
                 if metric_writer:
                     metric_writer.plot("little mAP", little)
@@ -362,6 +384,7 @@ def _fit_epochs(
                     )
             if metric_writer and hasattr(metric_writer, "render_html"):
                 metric_writer.render_html()
+            beat()  # eval/checkpoint/render boundary completed
     except KeyboardInterrupt:
         # Graceful interruption: persist the in-flight state so --resume
         # works (the reference loses the whole epoch).
@@ -389,4 +412,7 @@ def _fit_epochs(
                 info("interrupt checkpoint failed (%s); last on-disk "
                      "checkpoint remains the resume point", e)
         raise
+    finally:
+        if watchdog is not None:
+            watchdog.stop()
     return state, result
