@@ -160,6 +160,37 @@ def test_config_rejects_bad_impl():
         ExperimentConfig(nms_impl="palas")
     with pytest.raises(ValueError):
         ExperimentConfig(assignment_impl="Pallas")
+    for field, bad in (
+        ("warp_impl", "bandd"), ("blur_impl", "bf16"), ("gather_impl", "xla")
+    ):
+        with pytest.raises(ValueError):
+            ExperimentConfig(**{field: bad})
+
+
+def test_config_augment_impl_flags_parse():
+    cfg = ExperimentConfig.from_args(
+        ["--warp_impl", "band", "--blur_impl", "shift",
+         "--gather_impl", "pallas"]
+    )
+    assert (cfg.warp_impl, cfg.blur_impl, cfg.gather_impl) == (
+        "band", "shift", "pallas"
+    )
+
+
+def test_cli_train_augment_impl_flags(voc_tree, tmp_path):
+    """Non-default augment impl selectors plumb through to the resident
+    loader's DeviceAugmentConfig and train end-to-end (CPU: shift blur,
+    interpret-mode pallas gather)."""
+    list_file, _ = voc_tree
+    save_dir = str(tmp_path / "runImpls")
+    rc = cli.main(
+        ["train", *_train_args(list_file, save_dir,
+                               ("--device_resident", "true",
+                                "--blur_impl", "shift",
+                                "--gather_impl", "pallas",
+                                "--test_list", ""))]
+    )
+    assert rc == 0
 
 
 def test_cli_map_and_predict_int8(voc_tree, tmp_path, capsys):

@@ -109,6 +109,13 @@ def cmd_train(argv: list[str]) -> int:
         mesh = make_mesh(n_mesh)
         logger.info("data-parallel mesh over %d devices", n_mesh)
 
+    if cfg.device_resident or cfg.device_augment:
+        from yolo_v1_tpu.data.device_augment import DeviceAugmentConfig
+
+        aug_cfg = DeviceAugmentConfig(
+            warp_impl=cfg.warp_impl, blur_impl=cfg.blur_impl,
+            gather_impl=cfg.gather_impl,
+        )
     if cfg.device_resident:
         from yolo_v1_tpu.data.pipeline import DeviceResidentLoader
 
@@ -117,7 +124,8 @@ def cmd_train(argv: list[str]) -> int:
             little_train=cfg.little_train,
         )
         loader = DeviceResidentLoader(
-            train_ds, cfg.batch_size, logger=logger, mesh=mesh
+            train_ds, cfg.batch_size, logger=logger, mesh=mesh,
+            augment_config=aug_cfg,
         )
     elif cfg.device_augment:
         from yolo_v1_tpu.data.pipeline import DeviceAugmentedLoader
@@ -126,7 +134,9 @@ def cmd_train(argv: list[str]) -> int:
             cfg.train_list, train=False, config=pipe_cfg,
             little_train=cfg.little_train,
         )
-        loader = DeviceAugmentedLoader(train_ds, cfg.batch_size, mesh=mesh)
+        loader = DeviceAugmentedLoader(
+            train_ds, cfg.batch_size, mesh=mesh, augment_config=aug_cfg
+        )
     else:
         train_ds = YoloDataset(
             cfg.train_list, train=True, config=pipe_cfg,

@@ -37,6 +37,15 @@ class ExperimentConfig:
     # remat = jax.checkpoint on residual/dense blocks (memory saver)
     assignment_impl: str = "xla"
     nms_impl: str = "auto"
+    # Device-augment program selectors (data/device_augment.py, used by the
+    # --device_augment/--device_resident feed paths; each 'auto' resolves
+    # per backend — see DeviceAugmentConfig): affine warp
+    # 'auto'|'pallas'|'band'|'gather'; gaussian blur
+    # 'auto'|'band'|'band_bf16'|'shift'; resident-dataset row gather
+    # 'auto'|'take'|'pallas'.
+    warp_impl: str = "auto"
+    blur_impl: str = "auto"
+    gather_impl: str = "auto"
     remat: bool = False
 
     # optimization (train.py:37-39, 83-89; batch 16 for resnet train.py:68)
@@ -118,6 +127,21 @@ class ExperimentConfig:
             raise ValueError(
                 f"nms_impl must be 'auto', 'xla', 'pallas' or 'fused', got "
                 f"{self.nms_impl!r}"
+            )
+        if self.warp_impl not in ("auto", "band", "gather", "pallas"):
+            raise ValueError(
+                f"warp_impl must be 'auto', 'band', 'gather' or 'pallas', "
+                f"got {self.warp_impl!r}"
+            )
+        if self.blur_impl not in ("auto", "band", "band_bf16", "shift"):
+            raise ValueError(
+                f"blur_impl must be 'auto', 'band', 'band_bf16' or 'shift', "
+                f"got {self.blur_impl!r}"
+            )
+        if self.gather_impl not in ("auto", "take", "pallas"):
+            raise ValueError(
+                f"gather_impl must be 'auto', 'take' or 'pallas', "
+                f"got {self.gather_impl!r}"
             )
 
     def resolved_lambda_noobj(self) -> float:
