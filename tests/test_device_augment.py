@@ -408,3 +408,23 @@ def test_gather_impl_pallas_matches_take_end_to_end(rng):
     np.testing.assert_array_equal(
         np.asarray(outs["take"][1]), np.asarray(outs["pallas"][1])
     )
+
+
+def test_gather_rows_pallas_odd_shapes(rng):
+    """Rows/cols that are not sublane/lane multiples still copy exactly
+    (Mosaic pads the block tiles; the reshape keeps trailing dims intact)."""
+    from yolo_v1_tpu.ops.pallas.gather_kernel import gather_rows_pallas
+
+    for shape, dtype in (
+        ((7, 13, 7), np.uint8),      # odd rows, odd cols
+        ((5, 3, 11, 2), np.float32), # 4-D trailing flatten
+        ((4, 9), np.int32),          # 2-D minimum rank
+    ):
+        data = jnp.asarray(
+            rng.integers(0, 100, shape).astype(dtype)
+        )
+        idx = jnp.asarray([shape[0] - 1, 0, 1, 1], jnp.int32)
+        out = gather_rows_pallas(data, idx, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(jnp.take(data, idx, axis=0))
+        )
