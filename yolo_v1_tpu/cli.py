@@ -451,6 +451,45 @@ def cmd_predict(argv: list[str]) -> int:
     return 0
 
 
+def cmd_export(argv: list[str]) -> int:
+    """Write a portable serving artifact (eval/export.py): the fused
+    uint8-in serving program with the best checkpoint's weights baked in,
+    serialized as StableHLO for cpu+tpu.  Batch size = --eval_batch_size;
+    thresholds from --score_threshold/--nms_threshold."""
+    from yolo_v1_tpu.eval.export import export_serving, write_serving_artifact
+
+    cfg = ExperimentConfig.from_args(argv)
+    save_dir = cfg.resolved_save_dir()
+    logger = create_logger(save_dir, "export")
+    state, model = _build_state(cfg, steps_per_epoch=1, logger=logger)
+    manager = ckpt.CheckpointManager(save_dir)
+    if manager.exists(best=True):
+        state, _, _ = manager.restore(state, best=True)
+    elif manager.exists():
+        state, _, _ = manager.restore(state)
+    else:
+        logger.warning(
+            "no checkpoint in %s; exporting fresh random weights", save_dir
+        )
+    if cfg.nms_impl not in ("auto", "xla"):
+        logger.warning(
+            "nms_impl=%s uses backend-pinned Pallas custom calls; the "
+            "artifact forces the portable XLA NMS instead", cfg.nms_impl,
+        )
+    blob, meta = export_serving(
+        model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        S=cfg.S, B=cfg.B, C=cfg.num_classes,
+        batch=cfg.eval_batch_size, image_size=cfg.image_size,
+        score_threshold=cfg.score_threshold,
+        nms_threshold=cfg.nms_threshold,
+    )
+    path = write_serving_artifact(save_dir, blob, meta)
+    logger.info("serving artifact: %s (%.1f MB)", path, len(blob) / 1e6)
+    print(path)
+    return 0
+
+
 def cmd_prepare_data(argv: list[str]) -> int:
     """VOCdevkit XML -> labels/*.txt + list files (voc_label.py parity)."""
     import argparse
@@ -501,6 +540,7 @@ COMMANDS = {
     "map": cmd_map,
     "visualize": cmd_visualize,
     "predict": cmd_predict,
+    "export": cmd_export,
     "prepare-data": cmd_prepare_data,
     "synth-data": cmd_synth_data,
 }
