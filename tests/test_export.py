@@ -65,3 +65,22 @@ def test_cli_export_writes_artifact(tmp_path, capsys):
     u8 = np.zeros((2, 112, 112, 3), np.uint8)
     outs = call(u8)
     assert np.asarray(outs[0]).shape == (2, 98, 4)
+
+
+def test_cli_export_int8_artifact(voc_tree, tmp_path):
+    """--int8 exports the interceptor-quantized forward (W8A8 dots are
+    portable StableHLO); the artifact loads and serves."""
+    from yolo_v1_tpu import cli
+
+    list_file, _ = voc_tree
+    save_dir = str(tmp_path / "exp8")
+    rc = cli.main(
+        ["export", "--backbone", "tiny", "--S", "7", "--image_size", "112",
+         "--eval_batch_size", "2", "--bf16", "false", "--int8", "true",
+         "--test_list", list_file, "--save_dir", save_dir]
+    )
+    assert rc == 0
+    call, meta = load_serving_artifact(save_dir)
+    assert meta["int8"] is True
+    outs = call(np.zeros((2, 112, 112, 3), np.uint8))
+    assert np.asarray(outs[0]).shape == (2, 98, 4)

@@ -476,6 +476,18 @@ def cmd_export(argv: list[str]) -> int:
             "nms_impl=%s uses backend-pinned Pallas custom calls; the "
             "artifact forces the portable XLA NMS instead", cfg.nms_impl,
         )
+    apply_fn = None
+    if cfg.int8:
+        # W8A8 serving artifact: calibrate on test images, then export the
+        # interceptor-quantized forward (int8 dots are portable StableHLO).
+        if not cfg.test_list:
+            logger.error("--int8 export needs --test_list calibration images")
+            return 2
+        test_ds = YoloDataset(
+            cfg.test_list, train=False, config=_pipeline_config(cfg)
+        )
+        state = _quantize_for_serving(state, test_ds, logger)
+        apply_fn = state.apply_fn
     blob, meta = export_serving(
         model,
         {"params": state.params, "batch_stats": state.batch_stats},
@@ -483,7 +495,9 @@ def cmd_export(argv: list[str]) -> int:
         batch=cfg.eval_batch_size, image_size=cfg.image_size,
         score_threshold=cfg.score_threshold,
         nms_threshold=cfg.nms_threshold,
+        apply_fn=apply_fn,
     )
+    meta["int8"] = bool(cfg.int8)
     path = write_serving_artifact(save_dir, blob, meta)
     logger.info("serving artifact: %s (%.1f MB)", path, len(blob) / 1e6)
     print(path)
