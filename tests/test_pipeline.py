@@ -138,6 +138,34 @@ def test_batch_loader_yields_encoded(voc_tree):
     assert n_obj >= 6
 
 
+def test_process_workers_match_threads(voc_tree):
+    """worker_mode='process' (spawned DataLoader-worker analog,
+    train.py:119) yields bit-identical batches to the thread pool — sample
+    RNG depends only on (seed, epoch, idx), never on worker identity."""
+    list_file, _ = voc_tree
+    cfg_t = PipelineConfig(image_size=112, S=7, num_workers=2)
+    cfg_p = PipelineConfig(
+        image_size=112, S=7, num_workers=2, worker_mode="process"
+    )
+    lt = BatchLoader(YoloDataset(list_file, train=True, config=cfg_t), 4)
+    lp = BatchLoader(YoloDataset(list_file, train=True, config=cfg_p), 4)
+    try:
+        for (it, tt), (ip, tp) in zip(lt.epoch(1), lp.epoch(1)):
+            np.testing.assert_array_equal(it, ip)
+            np.testing.assert_array_equal(np.asarray(tt), np.asarray(tp))
+    finally:
+        lt.close()
+        lp.close()
+
+
+def test_worker_mode_validated(voc_tree):
+    list_file, _ = voc_tree
+    bad = PipelineConfig(image_size=112, worker_mode="fork")
+    ds = YoloDataset(list_file, train=False, config=bad)
+    with pytest.raises(ValueError, match="worker_mode"):
+        BatchLoader(ds, batch_size=4)
+
+
 def test_batch_loader_shuffles_by_epoch(voc_tree):
     list_file, _ = voc_tree
     ds = YoloDataset(list_file, train=False, config=cfg112())

@@ -38,7 +38,7 @@ def _pipeline_config(cfg: ExperimentConfig) -> PipelineConfig:
     return PipelineConfig(
         image_size=cfg.image_size, S=cfg.S, B=cfg.B, C=cfg.num_classes,
         seed=cfg.seed, num_workers=cfg.num_workers,
-        cache_images=cfg.cache_images,
+        worker_mode=cfg.worker_mode, cache_images=cfg.cache_images,
     )
 
 

@@ -64,6 +64,11 @@ class ExperimentConfig:
     test_list: str = "datasets/2007_test.txt"
     image_size: int = 448
     num_workers: int = 4
+    # Host loader workers: 'thread' (in-process; cv2 releases the GIL) or
+    # 'process' (spawned worker processes — the reference's DataLoader
+    # num_workers analog, train.py:119; wins on many-core hosts where the
+    # host-augment numpy work caps thread scaling).
+    worker_mode: str = "thread"
     seed: int = 0
     # True: flips/affine/pixel ops + normalize + encode run on device as one
     # jitted program (data/device_augment.py); False: host cv2/numpy
@@ -142,6 +147,11 @@ class ExperimentConfig:
             raise ValueError(
                 f"gather_impl must be 'auto', 'take' or 'pallas', "
                 f"got {self.gather_impl!r}"
+            )
+        if self.worker_mode not in ("thread", "process"):
+            raise ValueError(
+                f"worker_mode must be 'thread' or 'process', got "
+                f"{self.worker_mode!r}"
             )
 
     def resolved_lambda_noobj(self) -> float:

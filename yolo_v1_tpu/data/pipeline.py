@@ -15,18 +15,20 @@ torch:
 * target grids are encoded **batched on device** with the jitted
   ``core.grid.encode_targets`` instead of a per-sample Python loop
   (YOLODataLoader.py:200-230);
-* worker parallelism: a thread pool decodes/augments samples concurrently
-  and batches are prefetched one ahead (the reference uses 4 worker
-  processes, train.py:119 — threads suffice here since cv2 releases the
-  GIL).
+* worker parallelism: ``num_workers`` decode/augment samples concurrently
+  and batches are prefetched one ahead.  ``worker_mode='thread'`` (default)
+  uses an in-process pool (cv2 releases the GIL); ``'process'`` spawns
+  worker processes like the reference's 4 DataLoader workers (train.py:119)
+  for many-core hosts where numpy augment work caps thread scaling.
 
 ``little_train=True`` truncates to 64*8 samples like YOLODataLoader.py:85-86.
 """
 
 from __future__ import annotations
 
+import multiprocessing
 import os
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -52,6 +54,14 @@ class PipelineConfig:
     augment: AugmentConfig = AugmentConfig()
     seed: int = 0
     num_workers: int = 4  # train.py:119
+    # 'thread' (default): one in-process pool — cv2 releases the GIL so
+    # decode/resize scale across threads, and the numpy host-augment work
+    # mostly does too.  'process': spawned worker processes, each holding
+    # its own dataset handle — the analog of the reference's 4 DataLoader
+    # worker PROCESSES (train.py:119); wins on many-core hosts where the
+    # host-augment path's GIL-holding numpy slices cap thread scaling, at
+    # the cost of pickling each ~600 KB decoded sample back over IPC.
+    worker_mode: str = "thread"
     # Keep decoded+resized uint8 images (and parsed labels) in RAM after
     # first touch.  VOC-scale data fits easily (16.5k x 448^2 x 3 = 9.3 GB)
     # and JPEG decode is the host bottleneck when cores are scarce.
@@ -113,6 +123,73 @@ class YoloDataset:
             img, boxes, labels = augment_sample(img, boxes, labels, rng, cfg.augment)
         img = (img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
         return img, boxes, labels
+
+
+# --- worker pools -----------------------------------------------------------
+#
+# Process workers each hold their own YoloDataset, built once by the pool
+# initializer from the parent's (files, train, config) — no re-read of the
+# list file, so little_train truncation and any path edits carry over.  The
+# 'spawn' start method is deliberate: this process owns an accelerator
+# runtime (grpc threads, locked mutexes), and fork()ing it risks wedged
+# children; spawned workers re-import cleanly and never touch a device
+# (backend init is lazy — they only run cv2/numpy).
+
+_WORKER_DS: YoloDataset | None = None
+
+
+def _worker_init(files: list[str], train: bool, config: PipelineConfig):
+    global _WORKER_DS
+    ds = YoloDataset.__new__(YoloDataset)
+    ds.config = config
+    ds.train = train
+    ds.files = files
+    ds._cache = {} if config.cache_images else None
+    _WORKER_DS = ds
+
+
+def _worker_load_raw(idx: int):
+    return _WORKER_DS.load_raw(idx)
+
+
+def _worker_load_sample(idx: int, epoch: int):
+    return _WORKER_DS.load_sample(idx, epoch)
+
+
+class WorkerPool:
+    """num_workers-wide sample loader: threads in-process (default) or
+    spawned worker processes (``PipelineConfig.worker_mode='process'``,
+    the reference's DataLoader-worker analog, train.py:119).  Both modes
+    return identical bytes for the same (idx, epoch) — sample RNG is a pure
+    function of (seed, epoch, idx), never of worker identity."""
+
+    def __init__(self, dataset: "YoloDataset"):
+        cfg = dataset.config
+        if cfg.worker_mode == "process":
+            self._ex = ProcessPoolExecutor(
+                max_workers=cfg.num_workers,
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_worker_init,
+                initargs=(dataset.files, dataset.train, cfg),
+            )
+            self._raw, self._sample = _worker_load_raw, _worker_load_sample
+        elif cfg.worker_mode == "thread":
+            self._ex = ThreadPoolExecutor(max_workers=cfg.num_workers)
+            self._raw, self._sample = dataset.load_raw, dataset.load_sample
+        else:
+            raise ValueError(
+                f"worker_mode must be 'thread' or 'process', got "
+                f"{cfg.worker_mode!r}"
+            )
+
+    def submit_raw(self, idx: int):
+        return self._ex.submit(self._raw, int(idx))
+
+    def submit_sample(self, idx: int, epoch: int):
+        return self._ex.submit(self._sample, int(idx), epoch)
+
+    def shutdown(self):
+        self._ex.shutdown(wait=False, cancel_futures=True)
 
 
 def collate(
@@ -252,7 +329,7 @@ class DeviceAugmentedLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.mesh = mesh
-        self._pool = ThreadPoolExecutor(max_workers=dataset.config.num_workers)
+        self._pool = WorkerPool(dataset)
         n = len(dataset)
         self._nb = n // batch_size if drop_last else -(-n // batch_size)
         self._weighted = (not drop_last) and (n % batch_size != 0)
@@ -261,7 +338,7 @@ class DeviceAugmentedLoader:
         return self._nb
 
     def close(self):
-        self._pool.shutdown(wait=False, cancel_futures=True)
+        self._pool.shutdown()
 
     def epoch(self, epoch: int = 0):
         import jax
@@ -279,10 +356,7 @@ class DeviceAugmentedLoader:
             put = lambda a: jax.device_put(a, sh)
 
         def submit(bi):
-            return [
-                self._pool.submit(self.dataset.load_raw, int(i))
-                for i in plan[bi]
-            ]
+            return [self._pool.submit_raw(i) for i in plan[bi]]
 
         futures = None
         for bi in range(self._nb):
@@ -550,10 +624,10 @@ class BatchLoader:
         self.drop_last = drop_last
         self.encode = encode
         self.raw = raw
-        self._pool = ThreadPoolExecutor(max_workers=dataset.config.num_workers)
+        self._pool = WorkerPool(dataset)
 
     def close(self):
-        self._pool.shutdown(wait=False, cancel_futures=True)
+        self._pool.shutdown()
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -569,13 +643,11 @@ class BatchLoader:
         nb = len(self)
         futures = None
 
-        load = self.dataset.load_raw if self.raw else self.dataset.load_sample
-
         def submit(bi):
             idxs = order[bi * self.batch_size : (bi + 1) * self.batch_size]
             if self.raw:
-                return [self._pool.submit(load, int(i)) for i in idxs]
-            return [self._pool.submit(load, int(i), epoch) for i in idxs]
+                return [self._pool.submit_raw(i) for i in idxs]
+            return [self._pool.submit_sample(i, epoch) for i in idxs]
 
         for bi in range(nb):
             if futures is None:
