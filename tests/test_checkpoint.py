@@ -150,6 +150,51 @@ def test_import_torch_resnet50_trunk():
     assert head.std() > 0
 
 
+@pytest.mark.parametrize(
+    "model_name,arch", [("resnet18", "resnet"), ("densenet121", "densenet")]
+)
+def test_export_torch_roundtrip(model_name, arch):
+    """export_torch_state_dict is the exact inverse of the importer: every
+    exported tensor lands back in place (zero skips) and the trees match
+    bit-for-bit — so a model trained here survives the trip into the
+    reference's .pth format and back."""
+    from yolo_v1_tpu.train.checkpoint import export_torch_state_dict
+
+    state = _state(model_name=model_name, S=14)
+    sd = export_torch_state_dict(
+        state.params, state.batch_stats, arch, prefix="module."
+    )
+    n_leaves = len(jax.tree.leaves(state.params)) + len(
+        jax.tree.leaves(state.batch_stats)
+    )
+    n_tracked = sum(1 for k in sd if k.endswith("num_batches_tracked"))
+    assert len(sd) - n_tracked == n_leaves
+    assert all(k.startswith("module.") for k in sd)
+
+    fresh = _state(model_name=model_name, S=14)
+    params, stats, report = import_torch_state_dict(
+        sd, fresh.params, fresh.batch_stats, arch
+    )
+    assert not report["skipped_missing"] and not report["skipped_shape"]
+    assert len(report["copied"]) == n_leaves
+    jax.tree.map(
+        np.testing.assert_array_equal, params,
+        jax.tree.map(np.asarray, state.params),
+    )
+    jax.tree.map(
+        np.testing.assert_array_equal, stats,
+        jax.tree.map(np.asarray, state.batch_stats),
+    )
+
+
+def test_export_torch_rejects_unknown_arch():
+    from yolo_v1_tpu.train.checkpoint import export_torch_state_dict
+
+    state = _state(model_name="tiny", S=7)
+    with pytest.raises(ValueError):
+        export_torch_state_dict(state.params, state.batch_stats, "tiny")
+
+
 def test_import_shape_mismatch_skipped():
     state = _state(model_name="resnet50", S=7)
     sd = {"conv1.weight": np.zeros((64, 3, 3, 3), np.float32)}  # wrong kernel

@@ -90,6 +90,48 @@ def test_densenet121_forward_matches_reference_torch(S):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize(
+    "ctor_name,flax_name,arch",
+    [("resnet50", "resnet50", "resnet"),
+     ("densenet121", "densenet121", "densenet")],
+)
+def test_export_torch_loads_strict_into_reference(ctor_name, flax_name, arch):
+    """The inverse interop: a flax checkpoint exported with
+    export_torch_state_dict load_state_dict(strict=True)s into the LIVE
+    reference net — key set, shapes and dtypes all match — and the torch
+    forward then reproduces the flax forward.  This is what lets a user
+    train here and keep using the reference's eval.py/run_voc_mAP.py."""
+    from yolo_v1_tpu.train.checkpoint import export_torch_state_dict
+
+    if ctor_name == "resnet50":
+        from backbones.OriginResNet import resnet50 as ctor
+    else:
+        from backbones.OriginDenseNet import densenet121 as ctor
+
+    torch.manual_seed(0)
+    tm = ctor(S=7)
+    tm.eval()
+
+    model = build_model(flax_name, S=7, dtype=jnp.float32)
+    x = np.random.default_rng(1).normal(0, 1, (1, 448, 448, 3)).astype(
+        np.float32
+    )
+    variables = model.init(jax.random.PRNGKey(3), jnp.asarray(x), train=False)
+    sd = export_torch_state_dict(
+        variables["params"], variables["batch_stats"], arch, prefix=""
+    )
+    # strict=True raises on any missing/unexpected/mis-shaped key.
+    tm.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()})
+
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(x), train=False)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
 def test_cli_train_from_pretrained_torch_and_resume(tmp_path, voc_tree):
     """The reference's actual recipe starts from ImageNet surgery
     (train.py:62-78); this runs the full composition our round-2 verdict

@@ -504,6 +504,59 @@ def cmd_export(argv: list[str]) -> int:
     return 0
 
 
+def cmd_export_torch(argv: list[str]) -> int:
+    """Export the best checkpoint as a reference-layout torch .pth
+    (checkpoint.export_torch_state_dict) so a model trained here drops
+    straight into the reference's eval tools (eval.py:68,
+    run_voc_mAP.py:68).  Keys default to the ``module.`` DataParallel
+    prefix those tools expect; ``--module_prefix false`` writes bare keys.
+    Output defaults to the reference's checkpoint naming
+    ``<save_dir>/<backbone>_<opt>_S<S>_yolo.pth`` (train.py:204-209)."""
+    out_path, prefix, rest = "", "module.", []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--torch_out":
+            out_path = argv[i + 1]
+            i += 2
+        elif argv[i] == "--module_prefix":
+            prefix = "module." if argv[i + 1].lower() in ("1", "true", "yes") else ""
+            i += 2
+        else:
+            rest.append(argv[i])
+            i += 1
+    cfg = ExperimentConfig.from_args(rest)
+    fam = cfg.backbone
+    if fam.startswith("densenet"):
+        arch = "densenet"
+    elif fam.startswith(("resnet", "resnext")):
+        arch = "resnet"
+    else:
+        print(f"export-torch: no torch layout for backbone {fam!r}")
+        return 2
+    save_dir = cfg.resolved_save_dir()
+    logger = create_logger(save_dir, "export_torch")
+    state, _ = _build_state(cfg, steps_per_epoch=1, logger=logger)
+    manager = ckpt.CheckpointManager(save_dir)
+    if manager.exists(best=True):
+        state, epoch, _ = manager.restore(state, best=True)
+        logger.info("exporting best checkpoint (epoch %d)", epoch)
+    elif manager.exists():
+        state, epoch, _ = manager.restore(state)
+        logger.info("exporting latest checkpoint (epoch %d)", epoch)
+    else:
+        logger.warning("no checkpoint in %s; exporting random init", save_dir)
+    sd = ckpt.export_torch_state_dict(
+        state.params, state.batch_stats, arch, prefix=prefix
+    )
+    out_path = out_path or os.path.join(
+        save_dir, f"{cfg.backbone}_{cfg.optimizer}_S{cfg.S}_yolo.pth"
+    )
+    ckpt.save_torch_file(out_path, sd)
+    logger.info("torch state dict: %s (%d tensors)", out_path, len(sd))
+    print(out_path)
+    return 0
+
+
 def cmd_prepare_data(argv: list[str]) -> int:
     """VOCdevkit XML -> labels/*.txt + list files (voc_label.py parity)."""
     import argparse
@@ -555,6 +608,7 @@ COMMANDS = {
     "visualize": cmd_visualize,
     "predict": cmd_predict,
     "export": cmd_export,
+    "export-torch": cmd_export_torch,
     "prepare-data": cmd_prepare_data,
     "synth-data": cmd_synth_data,
 }

@@ -13,6 +13,9 @@ our tree, leave the rest (e.g. the S=7 ``layer5``/``block5`` stages and the
 detection head, which have no ImageNet weights) at their random init.
 Handles both torchvision ImageNet state dicts and the reference's own
 DataParallel checkpoints (``module.``-prefixed keys — SURVEY.md §5).
+``export_torch_state_dict`` is the exact inverse: flax checkpoint ->
+reference-layout .pth, strict-loadable by the reference's eval tools
+(pinned live in test_torch_parity).
 """
 
 from __future__ import annotations
@@ -301,6 +304,117 @@ def import_torch_state_dict(
         report["copied"].append(key)
 
     return trees["params"], trees["batch_stats"], report
+
+
+def export_torch_state_dict(
+    params: Any,
+    batch_stats: Any,
+    arch: str,
+    prefix: str = "",
+) -> dict[str, np.ndarray]:
+    """Inverse of ``import_torch_state_dict``: flax trees -> a torch-layout
+    state dict with the reference nets' own key names, so a model trained
+    here loads strict into the reference's eval tools (eval.py:68,
+    run_voc_mAP.py:68) and, conversely, round-trips through our import.
+
+    Conv kernels transpose back to torch [out, in, kh, kw]; every BN gets a
+    zero ``num_batches_tracked`` (torch tracks it, eval never reads it).
+    ``prefix='module.'`` matches the reference's DataParallel checkpoints —
+    its eval tools wrap the net in DataParallel BEFORE load_state_dict
+    (SURVEY.md §5), so they expect prefixed keys.
+    """
+    params = jax.tree.map(np.asarray, params)
+    batch_stats = jax.tree.map(np.asarray, batch_stats)
+    out: dict[str, np.ndarray] = {}
+
+    def put_conv(tkey: str, node) -> None:
+        out[prefix + tkey + ".weight"] = np.ascontiguousarray(
+            np.asarray(node["kernel"], np.float32).transpose(3, 2, 0, 1)
+        )
+
+    def put_bn(tmod: str, pnode, snode) -> None:
+        out[prefix + tmod + ".weight"] = np.asarray(pnode["scale"], np.float32)
+        out[prefix + tmod + ".bias"] = np.asarray(pnode["bias"], np.float32)
+        out[prefix + tmod + ".running_mean"] = np.asarray(
+            snode["mean"], np.float32
+        )
+        out[prefix + tmod + ".running_var"] = np.asarray(
+            snode["var"], np.float32
+        )
+        out[prefix + tmod + ".num_batches_tracked"] = np.zeros((), np.int64)
+
+    if arch == "resnet":
+        for mod, node in params.items():
+            if mod == "conv1":
+                put_conv("conv1", node)
+            elif mod == "bn1":
+                put_bn("bn1", node, batch_stats["bn1"])
+            elif mod == "head":
+                put_conv("layer6", node["conv"])
+                put_bn("bn_end", node["bn"], batch_stats["head"]["bn"])
+            else:
+                m = re.match(r"^layer(\d+)_(\d+)$", mod)
+                if not m:
+                    raise ValueError(f"unmapped resnet module {mod!r}")
+                base = f"layer{m.group(1)}.{m.group(2)}"
+                for ck, cv in node.items():
+                    if ck == "downsample_conv":
+                        put_conv(base + ".downsample.0", cv)
+                    elif ck == "downsample_bn":
+                        put_bn(
+                            base + ".downsample.1", cv, batch_stats[mod][ck]
+                        )
+                    elif ck.startswith("conv"):
+                        put_conv(f"{base}.{ck}", cv)
+                    elif ck.startswith("bn"):
+                        put_bn(f"{base}.{ck}", cv, batch_stats[mod][ck])
+                    else:
+                        raise ValueError(f"unmapped {mod}/{ck}")
+        return out
+
+    if arch == "densenet":
+        for mod, node in params.items():
+            if mod == "conv0":
+                put_conv("features.conv0", node)
+            elif mod in ("norm0", "norm5"):
+                put_bn(f"features.{mod}", node, batch_stats[mod])
+            elif mod == "head":
+                put_conv("layer6", node["conv"])
+                put_bn("bn_end", node["bn"], batch_stats["head"]["bn"])
+            else:
+                m = re.match(r"^block(\d+)_layer(\d+)$", mod)
+                t = re.match(r"^transition(\d+)$", mod)
+                if m:
+                    base = (
+                        f"features.denseblock{m.group(1)}"
+                        f".denselayer{m.group(2)}"
+                    )
+                elif t:
+                    base = f"features.transition{t.group(1)}"
+                else:
+                    raise ValueError(f"unmapped densenet module {mod!r}")
+                for ck, cv in node.items():
+                    if ck.startswith("conv"):
+                        put_conv(f"{base}.{ck}", cv)
+                    elif ck.startswith("norm"):
+                        put_bn(f"{base}.{ck}", cv, batch_stats[mod][ck])
+                    else:
+                        raise ValueError(f"unmapped {mod}/{ck}")
+        return out
+
+    raise ValueError(f"unknown arch {arch!r}")
+
+
+def save_torch_file(path: str, state_dict: Mapping[str, np.ndarray]) -> None:
+    """Write a .pth consumable by the reference's eval tools (CPU torch)."""
+    import torch
+
+    torch.save(
+        # copy: jax-backed numpy views are read-only, which from_numpy warns
+        # about (and the tensor would alias freed device memory besides).
+        {k: torch.from_numpy(np.array(v)) for k, v in state_dict.items()},
+        path,
+    )
 
 
 def load_torch_file(path: str) -> dict:
