@@ -84,3 +84,30 @@ def test_cli_export_int8_artifact(voc_tree, tmp_path):
     assert meta["int8"] is True
     outs = call(np.zeros((2, 112, 112, 3), np.uint8))
     assert np.asarray(outs[0]).shape == (2, 98, 4)
+
+
+def test_cli_export_torch_writes_pth(tmp_path, capsys):
+    """export-torch writes a reference-layout .pth (module.-prefixed) from
+    the run dir (random init when no checkpoint; the warning path) and
+    refuses backbones with no torch layout."""
+    import torch
+
+    from yolo_v1_tpu import cli
+
+    save_dir = str(tmp_path / "r18")
+    rc = cli.main(
+        ["export-torch", "--backbone", "resnet18", "--S", "14",
+         "--bf16", "false", "--save_dir", save_dir,
+         "--torch_out", str(tmp_path / "out.pth")]
+    )
+    assert rc == 0
+    assert capsys.readouterr().out.strip().endswith("out.pth")
+    sd = torch.load(str(tmp_path / "out.pth"), weights_only=True)
+    assert all(k.startswith("module.") for k in sd)
+    assert "module.layer6.weight" in sd  # detection head (OriginResNet.py:133)
+    assert sd["module.conv1.weight"].shape == (64, 3, 7, 7)
+
+    assert cli.main(
+        ["export-torch", "--backbone", "tiny", "--S", "7",
+         "--save_dir", str(tmp_path / "t")]
+    ) == 2
