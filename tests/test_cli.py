@@ -218,3 +218,14 @@ def test_cli_map_and_predict_int8(voc_tree, tmp_path, capsys):
     lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     assert len(lines) == 8
     assert "detections" in json.loads(lines[0])
+
+    rc = cli.main(
+        ["visualize", "--backbone", "tiny", "--S", "7", "--image_size",
+         "112", "--test_list", list_file, "--eval_batch_size", "8",
+         "--bf16", "false", "--int8", "true",
+         "--save_dir", str(tmp_path / "q")]
+    )
+    assert rc == 0
+    import os
+
+    assert len(os.listdir(tmp_path / "q" / "vis")) == 8

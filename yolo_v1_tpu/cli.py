@@ -318,6 +318,8 @@ def cmd_visualize(argv: list[str]) -> int:
         state, _, _ = manager.restore(state, best=True)
     elif manager.exists():
         state, _, _ = manager.restore(state)
+    if cfg.int8:  # render what the quantized serving path actually detects
+        state = _quantize_for_serving(state, test_ds, logger)
     detector = make_detector(
         cfg.S, cfg.B, cfg.num_classes,
         score_threshold=0.1,  # eval.py:94 uses thresh .1 for visualization
