@@ -1,0 +1,103 @@
+"""HTTP serving daemon (eval/server.py + cli serve): micro-batched
+requests over the single compiled serving program.  The reference has no
+server at all — its serving is a script loop (run_voc_mAP.py:74)."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from yolo_v1_tpu import cli
+
+
+def _post(url: str, data: bytes):
+    req = urllib.request.Request(
+        url, data=data, headers={"Content-Type": "application/octet-stream"}
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from tests.conftest import make_voc_tree
+
+    root = tmp_path_factory.mktemp("serve")
+    list_file, _ = make_voc_tree(root / "voc", n_images=8, image_size=112)
+    srv = cli.cmd_serve(
+        ["--backbone", "tiny", "--S", "7", "--image_size", "112",
+         "--eval_batch_size", "4", "--bf16", "false",
+         "--score_threshold", "0.01", "--max_wait_ms", "20",
+         "--save_dir", str(root / "run")],
+        block=False,
+    )
+    yield srv, list_file
+    srv.stop()
+
+
+def test_healthz_and_predict(server):
+    import cv2
+
+    srv, list_file = server
+    base = f"http://127.0.0.1:{srv.port}"
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok" and health["batch"] == 4
+
+    path = open(list_file).read().splitlines()[0]
+    jpeg = open(path, "rb").read()
+    status, out = _post(base + "/predict", jpeg)
+    assert status == 200
+    assert isinstance(out["detections"], list)
+    for d in out["detections"]:
+        assert set(d) == {"box", "score", "class_id", "class_name"}
+        x1, y1, x2, y2 = d["box"]
+        assert 0.0 <= x1 <= x2 <= 1.0 and 0.0 <= y1 <= y2 <= 1.0
+
+    # A re-encoded random image also serves (decode path, not just files).
+    noise = np.random.default_rng(0).integers(
+        0, 255, (64, 80, 3), np.uint8
+    )
+    ok, buf = cv2.imencode(".jpg", noise)
+    assert ok
+    status, out = _post(base + "/predict", buf.tobytes())
+    assert status == 200 and "detections" in out
+
+
+def test_concurrent_requests_batch_together(server):
+    srv, list_file = server
+    base = f"http://127.0.0.1:{srv.port}"
+    files = open(list_file).read().splitlines()
+    payloads = [open(p, "rb").read() for p in files[:4]]
+    results, errs = [None] * 4, []
+
+    served_before = srv.served
+
+    def post(i):
+        try:
+            results[i] = _post(base + "/predict", payloads[i])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert not errs
+    assert all(r and r[0] == 200 for r in results)
+    assert srv.served == served_before + 4
+
+
+def test_bad_requests(server):
+    srv, _ = server
+    base = f"http://127.0.0.1:{srv.port}"
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/predict", b"not an image")
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/nope", b"x")
+    assert ei.value.code == 404

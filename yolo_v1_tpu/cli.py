@@ -453,6 +453,85 @@ def cmd_predict(argv: list[str]) -> int:
     return 0
 
 
+def cmd_serve(argv: list[str], block: bool = True):
+    """HTTP serving daemon (eval/server.py): POST /predict with JPEG/PNG
+    bytes -> JSON detections (normalized xyxy boxes); GET /healthz.
+    Concurrent requests micro-batch onto the ONE compiled serving program
+    (batch = --eval_batch_size, fill window = --max_wait_ms); --int8 true
+    serves the W8A8 forward calibrated on --test_list images.  The
+    production upgrade of the reference's script-loop serving
+    (run_voc_mAP.py:74).  ``block=False`` returns the started server
+    (tests)."""
+    from yolo_v1_tpu.eval.predictor import Predictor
+    from yolo_v1_tpu.eval.server import PredictionServer
+
+    host, port, max_wait_ms, rest = "127.0.0.1", 8000, 2.0, []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--port":
+            port = int(argv[i + 1])
+            i += 2
+        elif argv[i] == "--host":
+            host = argv[i + 1]
+            i += 2
+        elif argv[i] == "--max_wait_ms":
+            max_wait_ms = float(argv[i + 1])
+            i += 2
+        else:
+            rest.append(argv[i])
+            i += 1
+    cfg = ExperimentConfig.from_args(rest)
+    save_dir = cfg.resolved_save_dir()
+    logger = create_logger(save_dir, "serve")
+    state, model = _build_state(cfg, steps_per_epoch=1, logger=logger)
+    manager = ckpt.CheckpointManager(save_dir)
+    if manager.exists(best=True):
+        state, _, _ = manager.restore(state, best=True)
+    elif manager.exists():
+        state, _, _ = manager.restore(state)
+    else:
+        logger.warning(
+            "no checkpoint in %s; serving fresh random weights", save_dir
+        )
+    apply_fn = None
+    if cfg.int8:
+        if not cfg.test_list:
+            logger.error("--int8 serving needs --test_list calibration images")
+            return 2
+        test_ds = YoloDataset(
+            cfg.test_list, train=False, config=_pipeline_config(cfg)
+        )
+        state = _quantize_for_serving(state, test_ds, logger)
+        apply_fn = state.apply_fn
+    predictor = Predictor(
+        model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        S=cfg.S, B=cfg.B, C=cfg.num_classes,
+        score_threshold=cfg.score_threshold,
+        nms_threshold=cfg.nms_threshold,
+        nms_impl=cfg.nms_impl, apply_fn=apply_fn,
+    )
+    # Warm the compile BEFORE accepting traffic (first jit costs tens of
+    # seconds locally, minutes over remote-compile TPU links).
+    predictor(np.zeros(
+        (cfg.eval_batch_size, cfg.image_size, cfg.image_size, 3), np.uint8
+    ))
+    server = PredictionServer(
+        predictor, cfg.image_size, cfg.eval_batch_size,
+        host=host, port=port, max_wait_ms=max_wait_ms, logger=logger,
+    )
+    logger.info(
+        "serving on %s:%d (batch %d, wait %.1fms)",
+        host, server.port, cfg.eval_batch_size, max_wait_ms,
+    )
+    if not block:
+        server.start()
+        return server
+    print(f"http://{host}:{server.port}", flush=True)
+    server.serve_forever()
+    return 0
+
+
 def cmd_export(argv: list[str]) -> int:
     """Write a portable serving artifact (eval/export.py): the fused
     uint8-in serving program with the best checkpoint's weights baked in,
@@ -609,6 +688,7 @@ COMMANDS = {
     "map": cmd_map,
     "visualize": cmd_visualize,
     "predict": cmd_predict,
+    "serve": cmd_serve,
     "export": cmd_export,
     "export-torch": cmd_export_torch,
     "prepare-data": cmd_prepare_data,
