@@ -29,7 +29,7 @@ def server(tmp_path_factory):
     list_file, _ = make_voc_tree(root / "voc", n_images=8, image_size=112)
     srv = cli.cmd_serve(
         ["--backbone", "tiny", "--S", "7", "--image_size", "112",
-         "--eval_batch_size", "4", "--bf16", "false",
+         "--eval_batch_size", "4", "--bf16", "false", "--port", "0",
          "--score_threshold", "0.01", "--max_wait_ms", "20",
          "--save_dir", str(root / "run")],
         block=False,
@@ -101,3 +101,34 @@ def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(base + "/nope", b"x")
     assert ei.value.code == 404
+
+
+def test_serve_int8(tmp_path):
+    """--int8 true serves the quantized forward through the same daemon."""
+    from tests.conftest import make_voc_tree
+
+    list_file, _ = make_voc_tree(tmp_path / "voc", n_images=4, image_size=112)
+    srv = cli.cmd_serve(
+        ["--backbone", "tiny", "--S", "7", "--image_size", "112",
+         "--eval_batch_size", "2", "--bf16", "false", "--int8", "true",
+         "--port", "0",
+         "--test_list", list_file, "--save_dir", str(tmp_path / "run")],
+        block=False,
+    )
+    try:
+        path = open(list_file).read().splitlines()[0]
+        status, out = _post(
+            f"http://127.0.0.1:{srv.port}/predict", open(path, "rb").read()
+        )
+        assert status == 200 and isinstance(out["detections"], list)
+    finally:
+        srv.stop()
+
+
+def test_serve_int8_requires_test_list(tmp_path):
+    assert cli.cmd_serve(
+        ["--backbone", "tiny", "--S", "7", "--image_size", "112",
+         "--bf16", "false", "--int8", "true", "--test_list", "",
+         "--save_dir", str(tmp_path / "r")],
+        block=False,
+    ) == 2
