@@ -63,12 +63,14 @@ class PredictionServer:
         host: str = "127.0.0.1",
         port: int = 0,
         max_wait_ms: float = 2.0,
+        request_timeout_s: float = 600.0,
         logger=None,
     ):
         self.predictor = predictor
         self.image_size = image_size
         self.batch = batch
         self.max_wait_s = max_wait_ms / 1e3
+        self.request_timeout_s = request_timeout_s
         self.logger = logger
         self.served = 0
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
@@ -115,7 +117,11 @@ class PredictionServer:
                     return self._reply(400, {"error": f"bad image: {e}"})
                 pending = _Pending(img)
                 server._queue.put(pending)
-                pending.event.wait()
+                # Bounded wait: a wedged device op must surface as a 504,
+                # not a silently hung connection (relay TPU links can wedge
+                # — the training loop grew a watchdog for the same reason).
+                if not pending.event.wait(timeout=server.request_timeout_s):
+                    return self._reply(504, {"error": "prediction timed out"})
                 if pending.error:
                     return self._reply(500, {"error": pending.error})
                 self._reply(200, {"detections": pending.result})
@@ -180,6 +186,15 @@ class PredictionServer:
 
     def stop(self):
         self._stop.set()
+        # Fail queued-but-undispatched requests instead of leaving their
+        # handler threads parked on event.wait().
+        while True:
+            try:
+                p = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            p.error = "server shutting down"
+            p.event.set()
         self.httpd.shutdown()
         self.httpd.server_close()
 
