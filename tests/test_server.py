@@ -132,3 +132,30 @@ def test_serve_int8_requires_test_list(tmp_path):
          "--save_dir", str(tmp_path / "r")],
         block=False,
     ) == 2
+
+
+def test_serve_artifact(tmp_path):
+    """--artifact serves an exported StableHLO blob: no model build, no
+    checkpoint — batch/size from the artifact metadata."""
+    from tests.conftest import make_voc_tree
+
+    list_file, _ = make_voc_tree(tmp_path / "voc", n_images=4, image_size=112)
+    rc = cli.main(
+        ["export", "--backbone", "tiny", "--S", "7", "--image_size", "112",
+         "--eval_batch_size", "2", "--bf16", "false",
+         "--save_dir", str(tmp_path / "art")]
+    )
+    assert rc == 0
+    srv = cli.cmd_serve(
+        ["--artifact", str(tmp_path / "art"), "--port", "0"], block=False
+    )
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["batch"] == 2 and health["image_size"] == 112
+        path = open(list_file).read().splitlines()[0]
+        status, out = _post(base + "/predict", open(path, "rb").read())
+        assert status == 200 and isinstance(out["detections"], list)
+    finally:
+        srv.stop()

@@ -460,12 +460,14 @@ def cmd_serve(argv: list[str], block: bool = True):
     (batch = --eval_batch_size, fill window = --max_wait_ms); --int8 true
     serves the W8A8 forward calibrated on --test_list images.  The
     production upgrade of the reference's script-loop serving
-    (run_voc_mAP.py:74).  ``block=False`` returns the started server
-    (tests)."""
+    (run_voc_mAP.py:74).  ``--artifact <dir>`` serves an exported
+    StableHLO blob instead (cli export) — no model code or checkpoint at
+    the serving host; batch/size come from the artifact's metadata.
+    ``block=False`` returns the started server (tests)."""
     from yolo_v1_tpu.eval.predictor import Predictor
     from yolo_v1_tpu.eval.server import PredictionServer
 
-    host, port, max_wait_ms, rest = "127.0.0.1", 8000, 2.0, []
+    host, port, max_wait_ms, artifact, rest = "127.0.0.1", 8000, 2.0, "", []
     i = 0
     while i < len(argv):
         if argv[i] == "--port":
@@ -477,10 +479,35 @@ def cmd_serve(argv: list[str], block: bool = True):
         elif argv[i] == "--max_wait_ms":
             max_wait_ms = float(argv[i + 1])
             i += 2
+        elif argv[i] == "--artifact":
+            artifact = argv[i + 1]
+            i += 2
         else:
             rest.append(argv[i])
             i += 1
     cfg = ExperimentConfig.from_args(rest)
+    if artifact:
+        from yolo_v1_tpu.eval.export import ArtifactPredictor
+
+        logger = create_logger(artifact, "serve")
+        predictor = ArtifactPredictor(artifact)
+        predictor(np.zeros(  # warm the compile before accepting traffic
+            (predictor.batch,) + (predictor.image_size,) * 2 + (3,), np.uint8
+        ))
+        server = PredictionServer(
+            predictor, predictor.image_size, predictor.batch,
+            host=host, port=port, max_wait_ms=max_wait_ms, logger=logger,
+        )
+        logger.info(
+            "serving artifact %s on %s:%d (batch %d)",
+            artifact, host, server.port, predictor.batch,
+        )
+        if not block:
+            server.start()
+            return server
+        print(f"http://{host}:{server.port}", flush=True)
+        server.serve_forever()
+        return 0
     save_dir = cfg.resolved_save_dir()
     logger = create_logger(save_dir, "serve")
     state, model = _build_state(cfg, steps_per_epoch=1, logger=logger)

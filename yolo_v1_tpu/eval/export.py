@@ -101,3 +101,30 @@ def load_serving_artifact(save_dir: str):
     with open(os.path.join(save_dir, "serving.json")) as f:
         meta = json.load(f)
     return exp.call, meta
+
+
+class ArtifactPredictor:
+    """Predictor-compatible wrapper over a serving artifact: uint8 batch in,
+    per-image detection dicts out — so `cli serve --artifact <dir>` deploys
+    an exported blob with zero model code or checkpoint plumbing.  Batch
+    and image size are fixed by the artifact's metadata."""
+
+    def __init__(self, save_dir: str):
+        from yolo_v1_tpu.eval.predictor import detections_from_arrays
+
+        self._call, self.meta = load_serving_artifact(save_dir)
+        self._extract = detections_from_arrays
+        self.batch = int(self.meta["batch"])
+        self.image_size = int(self.meta["image_size"])
+        self.class_names = self.meta["class_names"]
+
+    def __call__(self, images_u8: np.ndarray) -> list[list[dict]]:
+        if images_u8.shape != (self.batch, self.image_size, self.image_size, 3):
+            raise ValueError(
+                f"artifact expects {self.meta['input']}, got "
+                f"{images_u8.shape} — exported programs have ONE shape"
+            )
+        boxes, scores, classes, keep = (
+            np.asarray(a) for a in self._call(images_u8)
+        )
+        return self._extract(boxes, scores, classes, keep, self.class_names)

@@ -25,6 +25,33 @@ from yolo_v1_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
 from yolo_v1_tpu.data.voc import VOC_CLASSES
 
 
+def detections_from_arrays(
+    boxes: np.ndarray,
+    scores: np.ndarray,
+    classes: np.ndarray,
+    keep: np.ndarray,
+    class_names: Sequence[str],
+) -> list[list[dict]]:
+    """Ragged host-side extraction of kept boxes -> per-image sorted
+    detection dicts (shared by Predictor and the artifact server path)."""
+    out = []
+    for i in range(boxes.shape[0]):
+        dets = []
+        for k in np.flatnonzero(keep[i]):
+            cid = int(classes[i, k])
+            dets.append(
+                {
+                    "box": boxes[i, k].tolist(),
+                    "score": float(scores[i, k]),
+                    "class_id": cid,
+                    "class_name": class_names[cid],
+                }
+            )
+        dets.sort(key=lambda d: -d["score"])
+        out.append(dets)
+    return out
+
+
 class Predictor:
     """Fused normalize+forward+decode+NMS serving wrapper.
 
@@ -101,19 +128,6 @@ class Predictor:
         boxes, scores, classes, keep = jax.tree.map(
             np.asarray, self._predict(self._variables, jnp.asarray(images_u8))
         )
-        out = []
-        for i in range(images_u8.shape[0]):
-            dets = []
-            for k in np.flatnonzero(keep[i]):
-                cid = int(classes[i, k])
-                dets.append(
-                    {
-                        "box": boxes[i, k].tolist(),
-                        "score": float(scores[i, k]),
-                        "class_id": cid,
-                        "class_name": self.class_names[cid],
-                    }
-                )
-            dets.sort(key=lambda d: -d["score"])
-            out.append(dets)
-        return out
+        return detections_from_arrays(
+            boxes, scores, classes, keep, self.class_names
+        )
