@@ -177,7 +177,7 @@ def calib_sensitivity(run_dir: str, sizes: list[int]) -> None:
     state, epoch, _ = CheckpointManager(run_dir).restore(state, best=True)
     log(f"restored {run_dir} best (epoch {epoch})")
 
-    bs, n_need = 8, max(sizes)
+    bs, n_need = 8, max(sizes) + 1  # +1: held-out batch never calibrated on
     imgs = []
     for i in range(n_need * bs):
         rng = np.random.default_rng(np.random.SeedSequence([7, 3, i]))
