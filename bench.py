@@ -327,9 +327,58 @@ def bench_train_e2e(
     return batch / per, aug_ms
 
 
+def wait_for_device(max_wait_s: float = 2700, probe_timeout_s: float = 240) -> bool:
+    """Bounded availability gate for the tunneled TPU relay, which has
+    measured multi-hour outages (docs/DESIGN.md; backend init then hangs
+    ~4 min per attempt before erroring UNAVAILABLE).  Probes in a
+    subprocess — an init failure must not poison this process's backend —
+    until a tiny matmul answers or the budget is spent."""
+    import subprocess
+
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; x = jax.numpy.ones((256, 256)); "
+                 "print(float((x @ x).sum()))"],
+                capture_output=True, timeout=probe_timeout_s,
+            )
+            if r.returncode == 0:
+                log(f"device probe ok ({time.perf_counter() - t0:.0f}s)")
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        log(f"device probe {attempt} failed ({time.perf_counter() - t0:.0f}s)")
+        if time.monotonic() > deadline:
+            return False
+        time.sleep(30)
+
+
+def _error_json(reason: str) -> None:
+    """Always emit the ONE expected JSON line, honestly zeroed, so a relay
+    outage at bench time records as an explicit error instead of a hang."""
+    print(json.dumps({
+        "metric": "resnet50_s7_bf16_batched_inference_448px",
+        "value": 0.0,
+        "unit": "images/sec",
+        "vs_baseline": 0.0,
+        "error": reason,
+    }))
+
+
 if __name__ == "__main__":
     if "--e2e" in sys.argv:
         ips, aug = bench_train_e2e()
         print(json.dumps({"e2e_ips": ips, "aug_ms": aug}))
+    elif not wait_for_device():
+        _error_json("tpu_relay_unavailable")
     else:
-        main()
+        try:
+            main()
+        except Exception as e:  # relay died mid-bench: still one JSON line
+            log(f"bench failed: {type(e).__name__}: {e}")
+            _error_json(f"{type(e).__name__}: {e}"[:200])
