@@ -159,3 +159,38 @@ def test_serve_artifact(tmp_path):
         assert status == 200 and isinstance(out["detections"], list)
     finally:
         srv.stop()
+
+
+def test_metrics_endpoint(server):
+    """/metrics: Prometheus text exposition whose counters move with
+    traffic (request/batch totals, fill, device latency)."""
+    srv, list_file = server
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def scrape() -> dict:
+        with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        return {
+            k: float(v)
+            for k, v in (
+                line.split() for line in text.splitlines()
+                if line and not line.startswith("#")
+            )
+        }
+
+    before = scrape()
+    path = open(list_file).read().splitlines()[0]
+    status, _ = _post(base + "/predict", open(path, "rb").read())
+    assert status == 200
+    after = scrape()
+    assert after["yolo_requests_served_total"] == (
+        before["yolo_requests_served_total"] + 1
+    )
+    assert after["yolo_device_batches_total"] >= (
+        before["yolo_device_batches_total"] + 1
+    )
+    assert after["yolo_request_errors_total"] == before["yolo_request_errors_total"]
+    assert 1.0 <= after["yolo_batch_fill_avg"] <= after["yolo_batch_capacity"]
+    assert after["yolo_device_call_seconds_avg"] > 0
+    assert after["yolo_device_call_seconds_max"] >= after["yolo_device_call_seconds_avg"]

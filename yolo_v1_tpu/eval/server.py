@@ -14,7 +14,9 @@ requests:
   pass instead of serializing 1-image programs — batched serving measures
   ~36x the reference's bs=1 loop on v5e (docs/DESIGN.md).
 * Endpoints: ``POST /predict`` (JPEG/PNG bytes in, JSON detections out,
-  boxes normalized xyxy) and ``GET /healthz``.
+  boxes normalized xyxy), ``GET /healthz``, and ``GET /metrics``
+  (Prometheus text exposition: request/batch/error counters, mean batch
+  fill, device-call latency, live queue depth).
 
 The daemon is intentionally stdlib-only (ThreadingHTTPServer): it
 demonstrates the serving SHAPE — fixed-shape micro-batching in front of
@@ -73,6 +75,14 @@ class PredictionServer:
         self.request_timeout_s = request_timeout_s
         self.logger = logger
         self.served = 0
+        # Serving metrics, written only by the single dispatcher thread
+        # (reads from handler threads see a consistent-enough snapshot —
+        # these are monotonic counters, not invariants).
+        self.batches = 0
+        self.errors = 0
+        self._fill_sum = 0
+        self._device_s_sum = 0.0
+        self._device_s_max = 0.0
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         self._dispatcher = threading.Thread(
@@ -95,6 +105,16 @@ class PredictionServer:
                 self.wfile.write(body)
 
             def do_GET(self):
+                if self.path == "/metrics":
+                    body = server.metrics_text().encode()
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "text/plain; version=0.0.4"
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 if self.path != "/healthz":
                     return self._reply(404, {"error": "unknown path"})
                 self._reply(
@@ -165,6 +185,7 @@ class PredictionServer:
                     self.batch - len(todo), 0
                 )
                 images = np.concatenate([images, pad])
+            t_call = time.perf_counter()
             try:
                 dets = self.predictor(images)[: len(todo)]
                 for p, d in zip(todo, dets):
@@ -172,6 +193,12 @@ class PredictionServer:
             except Exception as e:  # surface device errors to every caller
                 for p in todo:
                     p.error = f"{type(e).__name__}: {e}"
+                self.errors += len(todo)
+            dt = time.perf_counter() - t_call
+            self.batches += 1
+            self._fill_sum += len(todo)
+            self._device_s_sum += dt
+            self._device_s_max = max(self._device_s_max, dt)
             self.served += len(todo)
             if self.logger:
                 self.logger.info(
@@ -179,6 +206,31 @@ class PredictionServer:
                 )
             for p in todo:
                 p.event.set()
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of the serving counters (the
+        observability surface a production front-end scrapes; the
+        reference has nothing comparable)."""
+        b = max(self.batches, 1)
+        lines = [
+            "# TYPE yolo_requests_served_total counter",
+            f"yolo_requests_served_total {self.served}",
+            "# TYPE yolo_request_errors_total counter",
+            f"yolo_request_errors_total {self.errors}",
+            "# TYPE yolo_device_batches_total counter",
+            f"yolo_device_batches_total {self.batches}",
+            "# TYPE yolo_batch_fill_avg gauge",
+            f"yolo_batch_fill_avg {self._fill_sum / b:.4f}",
+            "# TYPE yolo_batch_capacity gauge",
+            f"yolo_batch_capacity {self.batch}",
+            "# TYPE yolo_device_call_seconds_avg gauge",
+            f"yolo_device_call_seconds_avg {self._device_s_sum / b:.6f}",
+            "# TYPE yolo_device_call_seconds_max gauge",
+            f"yolo_device_call_seconds_max {self._device_s_max:.6f}",
+            "# TYPE yolo_queue_depth gauge",
+            f"yolo_queue_depth {self._queue.qsize()}",
+        ]
+        return "\n".join(lines) + "\n"
 
     def start(self):
         self._dispatcher.start()
