@@ -78,3 +78,28 @@ def test_artifact_predictor_rejects_wrong_shape(tmp_path):
     pred = ArtifactPredictor(str(tmp_path / "art"))
     with pytest.raises(ValueError, match="ONE shape"):
         pred(np.zeros((3, 112, 112, 3), np.uint8))
+
+
+def test_predictor_mesh_matches_single_device(rng):
+    """Data-parallel serving (Predictor mesh=...): batch sharded over the
+    data axis must produce the same detections as single-device serving
+    (the serving analog of the train-path 1-vs-8-device equivalence)."""
+    from yolo_v1_tpu.parallel.mesh import make_mesh
+
+    model = build_model("tiny", S=7)
+    images = rng.integers(0, 255, (8, 112, 112, 3), np.uint8)
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 112, 112, 3), np.float32), train=False
+    )
+    single = Predictor(model, variables, S=7, score_threshold=0.05)
+    meshed = Predictor(
+        model, variables, S=7, score_threshold=0.05, mesh=make_mesh(4)
+    )
+    a, b = single(images), meshed(images)
+    assert len(a) == len(b)
+    for da, db in zip(a, b):
+        assert len(da) == len(db)
+        for xa, xb in zip(da, db):
+            assert xa["class_id"] == xb["class_id"]
+            np.testing.assert_allclose(xa["box"], xb["box"], atol=1e-3)
+            np.testing.assert_allclose(xa["score"], xb["score"], atol=1e-3)

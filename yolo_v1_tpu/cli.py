@@ -530,13 +530,24 @@ def cmd_serve(argv: list[str], block: bool = True):
         )
         state = _quantize_for_serving(state, test_ds, logger)
         apply_fn = state.apply_fn
+    mesh = None
+    if len(jax.devices()) > 1:
+        # Data-parallel serving: the request batch shards over every
+        # device whose count divides it (mirrors cmd_train's mesh policy);
+        # weights replicate, XLA SPMD partitions the one serving program.
+        from yolo_v1_tpu.parallel.mesh import largest_divisor_device_count
+
+        n_mesh = largest_divisor_device_count(cfg.eval_batch_size)
+        if n_mesh > 1:
+            mesh = make_mesh(n_mesh)
+            logger.info("data-parallel serving mesh over %d devices", n_mesh)
     predictor = Predictor(
         model,
         {"params": state.params, "batch_stats": state.batch_stats},
         S=cfg.S, B=cfg.B, C=cfg.num_classes,
         score_threshold=cfg.score_threshold,
         nms_threshold=cfg.nms_threshold,
-        nms_impl=cfg.nms_impl, apply_fn=apply_fn,
+        nms_impl=cfg.nms_impl, apply_fn=apply_fn, mesh=mesh,
     )
     # Warm the compile BEFORE accepting traffic (first jit costs tens of
     # seconds locally, minutes over remote-compile TPU links).

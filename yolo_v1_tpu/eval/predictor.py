@@ -62,6 +62,11 @@ class Predictor:
       score_threshold / nms_threshold: decode constants (reference
         visualization uses 0.1 / mAP eval uses 0.005 — utils/utils.py:405,
         eval.py:94).
+      mesh: optional jax.sharding.Mesh for data-parallel serving — the
+        request batch shards over the mesh's data axes, weights replicate,
+        and XLA SPMD partitions the one compiled program (the serving
+        analog of the reference's nn.DataParallel, train.py:80).  The
+        batch size must divide the mesh's data-parallel extent.
     """
 
     def __init__(
@@ -75,10 +80,17 @@ class Predictor:
         nms_threshold: float = 0.45,
         nms_impl: str = "auto",
         apply_fn=None,
+        mesh=None,
     ):
         from yolo_v1_tpu.ops.pallas.nms_kernel import resolve_nms_impl
 
-        nms_impl = resolve_nms_impl(nms_impl, K=S * S * B)
+        nms_impl = resolve_nms_impl(nms_impl, mesh=mesh, K=S * S * B)
+        self._mesh = mesh
+        if mesh is not None:
+            from yolo_v1_tpu.parallel.mesh import data_sharding, replicated
+
+            self._in_sharding = data_sharding(mesh)
+            variables = jax.device_put(variables, replicated(mesh))
         self.class_names: Sequence[str] = VOC_CLASSES
         mean = jnp.asarray(IMAGENET_MEAN)
         std = jnp.asarray(IMAGENET_STD)
@@ -125,8 +137,11 @@ class Predictor:
         Returns per-image lists of {'box': [x1,y1,x2,y2] normalized,
         'score': float, 'class_id': int, 'class_name': str}.
         """
+        images = jnp.asarray(images_u8)
+        if self._mesh is not None:
+            images = jax.device_put(images, self._in_sharding)
         boxes, scores, classes, keep = jax.tree.map(
-            np.asarray, self._predict(self._variables, jnp.asarray(images_u8))
+            np.asarray, self._predict(self._variables, images)
         )
         return detections_from_arrays(
             boxes, scores, classes, keep, self.class_names
