@@ -423,13 +423,23 @@ def cmd_predict(argv: list[str]) -> int:
         logger.info("int8: serving quantized forward")
         apply_fn = state.apply_fn
 
+    mesh = None
+    if len(jax.devices()) > 1:
+        # Same data-parallel serving policy as cmd_serve: shard the batch
+        # over every device whose count divides it.
+        from yolo_v1_tpu.parallel.mesh import largest_divisor_device_count
+
+        n_mesh = largest_divisor_device_count(cfg.eval_batch_size)
+        if n_mesh > 1:
+            mesh = make_mesh(n_mesh)
+            logger.info("data-parallel predict mesh over %d devices", n_mesh)
     predictor = Predictor(
         model,
         {"params": state.params, "batch_stats": state.batch_stats},
         S=cfg.S, B=cfg.B, C=cfg.num_classes,
         score_threshold=cfg.score_threshold, nms_threshold=cfg.nms_threshold,
         nms_impl=cfg.nms_impl,
-        apply_fn=apply_fn,
+        apply_fn=apply_fn, mesh=mesh,
     )
     bs = cfg.eval_batch_size
     size = cfg.image_size
