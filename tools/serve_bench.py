@@ -24,6 +24,19 @@ def get(url: str) -> dict:
         return json.loads(r.read())
 
 
+def metrics(base: str) -> dict:
+    """Parse the daemon's Prometheus text exposition into {name: float}."""
+    with urllib.request.urlopen(base + "/metrics", timeout=60) as r:
+        text = r.read().decode()
+    return {
+        k: float(v)
+        for k, v in (
+            line.split() for line in text.splitlines()
+            if line and not line.startswith("#")
+        )
+    }
+
+
 def main() -> None:
     base = sys.argv[1].rstrip("/")
     payload = open(sys.argv[2], "rb").read()
@@ -31,6 +44,7 @@ def main() -> None:
     conc = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 
     health0 = get(base + "/healthz")
+    m0 = metrics(base)
     latencies: list[float] = []
     lock = threading.Lock()
     errors: list[str] = []
@@ -65,8 +79,10 @@ def main() -> None:
     wall = time.perf_counter() - t0
     health1 = get(base + "/healthz")
 
+    m1 = metrics(base)
     latencies.sort()
     served = health1["served"] - health0["served"]
+    batches = m1["yolo_device_batches_total"] - m0["yolo_device_batches_total"]
     out = {
         "requests_ok": len(latencies),
         "errors": len(errors),
@@ -78,6 +94,11 @@ def main() -> None:
         ),
         "server_batch": health1["batch"],
         "served_delta": served,
+        "device_batches_delta": int(batches),
+        "effective_batch_fill": round(served / max(batches, 1), 2),
+        "device_call_ms_avg": round(
+            m1["yolo_device_call_seconds_avg"] * 1e3, 2
+        ),
     }
     print(json.dumps(out))
     if errors:
