@@ -170,10 +170,21 @@ class CheckpointManager:
         died between Orbax's delete and its atomic rename — see save())."""
         if os.path.isdir(target):
             return target
-        return target + ".prev"
+        if os.path.isdir(target + ".prev"):
+            return target + ".prev"
+        # Neither exists: name the real problem (restoring from a run dir
+        # with no checkpoint) instead of letting Orbax complain about the
+        # ``.prev`` fallback path nobody asked for.
+        raise FileNotFoundError(
+            f"no checkpoint at {target!r} (nor its .prev crash-window "
+            f"copy) — run dir contents: {sorted(os.listdir(self.base_path)) if os.path.isdir(self.base_path) else 'missing dir'}"
+        )
 
     def exists(self, best: bool = False) -> bool:
-        return os.path.isdir(self._resolve(self.path(best)))
+        try:
+            return os.path.isdir(self._resolve(self.path(best)))
+        except FileNotFoundError:
+            return False
 
 
 # ---------------------------------------------------------------------------
