@@ -283,3 +283,17 @@ def test_crash_window_prev_fallback(tmp_path):
     assert os.path.isdir(latest) and not os.path.isdir(latest + ".prev")
     _, epoch, _ = mgr.restore(_state())
     assert epoch == 4
+
+
+def test_restore_from_empty_run_dir_names_the_problem(tmp_path):
+    """Restoring from a run dir with no checkpoint must raise a clear
+    FileNotFoundError naming the missing path (not Orbax complaining about
+    the '.prev' fallback nobody asked for), and exists() must stay False.
+    (Hit live: committed runs/ dirs retain only small metadata files —
+    large Orbax data files are gitignored.)"""
+    import pytest
+
+    mgr = CheckpointManager(str(tmp_path / "empty_run"))
+    assert not mgr.exists() and not mgr.exists(best=True)
+    with pytest.raises(FileNotFoundError, match="no checkpoint at"):
+        mgr.restore(_state(), best=True)
