@@ -376,6 +376,44 @@ def test_fit_resume_keeps_best_map(tmp_path):
     assert int(best_after.step) == int(best_step_before)
 
 
+def test_gate_skipped_full_map_writes_no_point(tmp_path):
+    """Epochs where the full-mAP gate does NOT pass must write NO point to
+    the "mAP" series (the reference only plots when the eval ran,
+    train.py:194-201) — a 0.0 point is indistinguishable from a real
+    collapse on the dashboard.  Points that ARE written use the epoch as
+    the x-index so the gap renders."""
+    from yolo_v1_tpu.train.metrics import MetricWriter
+
+    state, images, targets = _tiny_setup()
+
+    class GatedEval:
+        """little mAP passes the gate only on epoch 1 (values must also be
+        strictly improving for the reference gate, train.py:194)."""
+
+        def __init__(self):
+            self.littles = iter([0.1, 0.7, 0.2])
+
+        def little_map(self, s):
+            return next(self.littles)
+
+        def full_map(self, s):
+            return 0.65
+
+    def loader(epoch):
+        yield images, targets
+
+    writer = MetricWriter(str(tmp_path))
+    fit(
+        state, loader, YoloV1LossConfig(S=7),
+        config=FitConfig(num_epochs=3, run_full_map_threshold=0.585),
+        evaluator=GatedEval(), metric_writer=writer,
+    )
+    # Only epoch 1 passed the gate: exactly one mAP point, at x=1, no 0.0s.
+    assert writer.history["mAP"] == [(1, 0.65)]
+    assert [p[0] for p in writer.history["little mAP"]] == [0, 1, 2]
+    writer.close()
+
+
 def test_interrupt_during_eval_keeps_epoch_completed(tmp_path):
     """Ctrl-C while the evaluator runs must record the epoch as COMPLETED
     (its batches all ran) so resume doesn't train it twice."""

@@ -33,7 +33,9 @@ import numpy as np
 from jax.sharding import Mesh
 
 from yolo_v1_tpu.losses.yolov1 import YoloV1LossConfig, yolo_v1_loss
-from yolo_v1_tpu.parallel.mesh import data_sharding, pad_to_multiple, replicated
+from yolo_v1_tpu.parallel.mesh import (
+    data_sharding, image_sharding, pad_to_multiple, replicated,
+)
 from yolo_v1_tpu.train.state import TrainState
 
 
@@ -88,11 +90,14 @@ def jit_train_step(
     step = make_train_step(loss_config, weighted=weighted)
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
+    # Images additionally shard their HEIGHT over 'space' when the mesh has
+    # that axis (image_sharding; XLA SPMD inserts the conv halo exchanges) —
+    # targets/weights have no spatial dim and stay batch-sharded.
     repl, data = replicated(mesh), data_sharding(mesh)
-    n_in = 3 if weighted else 2
+    shard_in = (repl, image_sharding(mesh), data) + ((data,) if weighted else ())
     return jax.jit(
         step,
-        in_shardings=(repl,) + (data,) * n_in,
+        in_shardings=shard_in,
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
@@ -170,7 +175,12 @@ def fit(
         time.clock() wall-clock lines, train.py:150-184).
     """
     config = config or FitConfig()
-    put = (lambda a: jax.device_put(a, data_sharding(mesh))) if mesh else jnp.asarray
+    if mesh is not None:
+        dat_sh, img_sh = data_sharding(mesh), image_sharding(mesh)
+        put = lambda a: jax.device_put(a, dat_sh)  # noqa: E731
+        put_img = lambda a: jax.device_put(a, img_sh)  # noqa: E731
+    else:
+        put = put_img = jnp.asarray
     # Resume restores the mAP gates too (persisted in the checkpoint), so a
     # post-resume epoch can never clobber a better 'best' checkpoint.
     result = FitResult(
@@ -180,7 +190,7 @@ def fit(
     return _fit_epochs(
         state, train_loader_fn, config, loss_config, mesh, put, result, info,
         evaluator, checkpointer, metric_writer, start_epoch, profile_dir,
-        lr_schedule,
+        lr_schedule, put_img=put_img,
     )
 
 
@@ -218,8 +228,10 @@ def _emit_log_window(
 def _fit_epochs(
     state, train_loader_fn, config, loss_config, mesh, put, result, info,
     evaluator, checkpointer, metric_writer, start_epoch, profile_dir,
-    lr_schedule=None,
+    lr_schedule=None, put_img=None,
 ):
+    if put_img is None:
+        put_img = put
     profiling = False
     epoch = start_epoch
     completed_epoch = start_epoch - 1  # last epoch whose BATCHES all ran
@@ -286,14 +298,14 @@ def _fit_epochs(
                     if row_w is not None:
                         weights[:n_real] *= np.asarray(row_w)
                     state, parts = step_fn(
-                        state, put(images_p), put(targets_p), put(weights)
+                        state, put_img(images_p), put(targets_p), put(weights)
                     )
                 elif row_w is not None:
                     state, parts = step_fn(
-                        state, put(images), put(targets), put(row_w)
+                        state, put_img(images), put(targets), put(row_w)
                     )
                 else:
-                    state, parts = step_fn(state, put(images), put(targets))
+                    state, parts = step_fn(state, put_img(images), put(targets))
                 # Keep losses as device scalars — fetching every step would
                 # force a host sync per iteration and serialize dispatch.
                 losses.append(parts["total"])
@@ -346,16 +358,22 @@ def _fit_epochs(
             if evaluator is not None:
                 little = evaluator.little_map(state)
                 beat()
-                if (
+                ran_full = (
                     little > result.last_little_map
                     and little > config.run_full_map_threshold
-                ):
+                )
+                if ran_full:
                     test_map = evaluator.full_map(state)
                     beat()
                 result.last_little_map = little
                 if metric_writer:
-                    metric_writer.plot("little mAP", little)
-                    metric_writer.plot("mAP", test_map)
+                    # Epoch-indexed points so gate-skipped epochs leave a
+                    # visible GAP in the "mAP" series instead of a 0.0 that
+                    # mimics a training collapse.  The reference likewise
+                    # only plots when the eval actually ran (train.py:200-201).
+                    metric_writer.plot("little mAP", little, step=epoch)
+                    if ran_full:
+                        metric_writer.plot("mAP", test_map, step=epoch)
                     # Live detection-overlay panel (reference visual.py:35-40).
                     if hasattr(metric_writer, "img") and hasattr(
                         evaluator, "render_panel"
@@ -363,7 +381,10 @@ def _fit_epochs(
                         metric_writer.img(
                             "detections", evaluator.render_panel(state)
                         )
-                info("little mAP %.5f, full mAP %.5f", little, test_map)
+                if ran_full:
+                    info("little mAP %.5f, full mAP %.5f", little, test_map)
+                else:
+                    info("little mAP %.5f, full mAP skipped (gate)", little)
 
             # --- checkpointing (train.py:204-209) ---
             if checkpointer is not None:
