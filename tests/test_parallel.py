@@ -8,7 +8,8 @@ import numpy as np
 import pytest
 
 from yolo_v1_tpu.parallel.mesh import (
-    data_sharding, make_mesh, pad_to_multiple, replicated, shard_batch,
+    data_sharding, dp_size, image_sharding, make_mesh, mesh_from_spec,
+    pad_to_multiple, replicated, shard_batch,
 )
 
 
@@ -46,6 +47,48 @@ def test_pad_to_multiple():
 def test_replicated_spec():
     mesh = make_mesh(2)
     assert replicated(mesh).spec == jax.sharding.PartitionSpec()
+
+
+def test_mesh_from_spec_full_hybrid():
+    mesh = mesh_from_spec("replica=2,data=2,space=2")
+    assert mesh.axis_names == ("replica", "data", "space")
+    assert mesh.devices.shape == (2, 2, 2)
+    assert dp_size(mesh) == 4
+
+
+def test_mesh_from_spec_wildcard_fills_devices():
+    mesh = mesh_from_spec("data=-1")
+    assert mesh.devices.shape == (len(jax.devices()),)
+    mesh2 = mesh_from_spec("data=-1,space=2")
+    assert mesh2.devices.shape == (len(jax.devices()) // 2, 2)
+    assert dp_size(mesh2) == len(jax.devices()) // 2
+
+
+def test_mesh_from_spec_rejects_bad_specs():
+    with pytest.raises(ValueError, match="unknown"):
+        mesh_from_spec("model=2,data=4")
+    with pytest.raises(ValueError, match="order"):
+        mesh_from_spec("data=4,replica=2")  # replica is DCN: must lead
+    with pytest.raises(ValueError, match="'data'"):
+        mesh_from_spec("replica=2,space=2")
+    with pytest.raises(ValueError, match="devices"):
+        mesh_from_spec("data=16")  # only 8 virtual devices
+    with pytest.raises(ValueError, match="twice"):
+        mesh_from_spec("data=2,data=2")
+    with pytest.raises(ValueError, match="wildcard"):
+        mesh_from_spec("replica=-1,data=-1")
+    with pytest.raises(ValueError, match="name=size"):
+        mesh_from_spec("data")
+
+
+def test_image_sharding_adds_space_axis():
+    from jax.sharding import PartitionSpec as P
+
+    flat = mesh_from_spec("data=8")
+    assert image_sharding(flat).spec == P("data")
+    hybrid = mesh_from_spec("replica=2,data=2,space=2")
+    assert image_sharding(hybrid).spec == P(("replica", "data"), "space")
+    assert data_sharding(hybrid).spec == P(("replica", "data"))
 
 
 def _load_graft():

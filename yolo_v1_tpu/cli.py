@@ -87,8 +87,32 @@ def cmd_train(argv: list[str]) -> int:
     writer = MetricWriter(save_dir, logger=logger, resume=cfg.resume)
     pipe_cfg = _pipeline_config(cfg)
 
+    from yolo_v1_tpu.parallel.mesh import (
+        dp_size, maybe_distributed_init, mesh_from_spec,
+    )
+
+    maybe_distributed_init(logger)
     mesh = None
-    if len(jax.devices()) > 1:
+    if cfg.mesh:
+        # Explicit --mesh spec: replica (DCN) x data (ICI DP) x space
+        # (image-height sharding).  Batch divisibility is the user's
+        # contract here — awkward sizes still pad in the train loop, but
+        # the resident feed draws batch/dp rows per shard and must divide.
+        mesh = mesh_from_spec(cfg.mesh)
+        dp = dp_size(mesh)
+        if cfg.device_resident and cfg.batch_size % dp != 0:
+            raise SystemExit(
+                f"--mesh {cfg.mesh!r}: batch_size {cfg.batch_size} must be "
+                f"divisible by the {dp}-way data-parallel split for "
+                f"--device_resident (the resident plan draws batch/dp rows "
+                f"per dataset shard)"
+            )
+        logger.info(
+            "mesh %s over %d devices (%d-way DP)",
+            dict(zip(mesh.axis_names, mesh.devices.shape)),
+            mesh.devices.size, dp,
+        )
+    elif len(jax.devices()) > 1:
         # All devices, always: batches that don't divide the mesh are padded
         # with loss-masked rows (train/loop) or trimmed detector outputs
         # (eval), so no chip idles on awkward batch sizes.  The resident
@@ -232,6 +256,41 @@ def cmd_train(argv: list[str]) -> int:
         if evaluator is not None:
             evaluator.close()
     return 0
+
+
+def _serving_mesh(cfg: ExperimentConfig, logger, label: str):
+    """Shared serve/predict mesh policy: an explicit --mesh spec wins
+    (batch must divide its DP split — the serving program has no padded
+    rows to mask); otherwise auto data-parallel over every device whose
+    count divides the batch."""
+    from yolo_v1_tpu.parallel.mesh import (
+        dp_size, largest_divisor_device_count, maybe_distributed_init,
+        mesh_from_spec,
+    )
+
+    maybe_distributed_init(logger)
+    if cfg.mesh:
+        mesh = mesh_from_spec(cfg.mesh)
+        dp = dp_size(mesh)
+        if cfg.eval_batch_size % dp != 0:
+            raise SystemExit(
+                f"--mesh {cfg.mesh!r}: eval_batch_size "
+                f"{cfg.eval_batch_size} must be divisible by the {dp}-way "
+                f"data-parallel split"
+            )
+        logger.info(
+            "%s mesh %s over %d devices", label,
+            dict(zip(mesh.axis_names, mesh.devices.shape)), mesh.devices.size,
+        )
+        return mesh
+    if len(jax.devices()) > 1:
+        n_mesh = largest_divisor_device_count(cfg.eval_batch_size)
+        if n_mesh > 1:
+            logger.info(
+                "data-parallel %s mesh over %d devices", label, n_mesh
+            )
+            return make_mesh(n_mesh)
+    return None
 
 
 def _quantize_for_serving(
@@ -423,16 +482,7 @@ def cmd_predict(argv: list[str]) -> int:
         logger.info("int8: serving quantized forward")
         apply_fn = state.apply_fn
 
-    mesh = None
-    if len(jax.devices()) > 1:
-        # Same data-parallel serving policy as cmd_serve: shard the batch
-        # over every device whose count divides it.
-        from yolo_v1_tpu.parallel.mesh import largest_divisor_device_count
-
-        n_mesh = largest_divisor_device_count(cfg.eval_batch_size)
-        if n_mesh > 1:
-            mesh = make_mesh(n_mesh)
-            logger.info("data-parallel predict mesh over %d devices", n_mesh)
+    mesh = _serving_mesh(cfg, logger, "predict")
     predictor = Predictor(
         model,
         {"params": state.params, "batch_stats": state.batch_stats},
@@ -540,17 +590,7 @@ def cmd_serve(argv: list[str], block: bool = True):
         )
         state = _quantize_for_serving(state, test_ds, logger)
         apply_fn = state.apply_fn
-    mesh = None
-    if len(jax.devices()) > 1:
-        # Data-parallel serving: the request batch shards over every
-        # device whose count divides it (mirrors cmd_train's mesh policy);
-        # weights replicate, XLA SPMD partitions the one serving program.
-        from yolo_v1_tpu.parallel.mesh import largest_divisor_device_count
-
-        n_mesh = largest_divisor_device_count(cfg.eval_batch_size)
-        if n_mesh > 1:
-            mesh = make_mesh(n_mesh)
-            logger.info("data-parallel serving mesh over %d devices", n_mesh)
+    mesh = _serving_mesh(cfg, logger, "serving")
     predictor = Predictor(
         model,
         {"params": state.params, "batch_stats": state.batch_stats},

@@ -84,6 +84,16 @@ class ExperimentConfig:
     # the device_augment path; single-device only.
     device_resident: bool = False
 
+    # Explicit device-mesh spec, e.g. 'replica=2,data=2,space=2' or
+    # 'data=-1' (fill all devices).  Axes: 'replica' = DCN between pod
+    # slices (gradient all-reduce only), 'data' = batch DP over ICI,
+    # 'space' = image-height sharding (XLA inserts conv halo exchanges).
+    # Empty = automatic 1-D data mesh over all devices when more than one
+    # is visible (parallel/mesh.mesh_from_spec).  Multi-host runs also
+    # need the jax.distributed env vars (JAX_COORDINATOR_ADDRESS,
+    # JAX_NUM_PROCESSES, JAX_PROCESS_ID) — see parallel/mesh.
+    mesh: str = ""
+
     # int8 post-training quantization of the serving forward (eval/map/
     # predict): conv weights per-channel + static activation scales from a
     # calibration pass over test images (eval/quantize.py).  v5e runs int8

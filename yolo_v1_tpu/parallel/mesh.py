@@ -65,6 +65,139 @@ def make_mesh(
     )
 
 
+#: Canonical axis order.  'replica' (DCN, between slices) must be leading
+#: so it lands on the least-local devices; 'space' trails for the same
+#: reason in reverse (halo exchanges want maximum ICI locality).
+MESH_AXES = ("replica", "data", "space")
+
+
+def mesh_from_spec(spec: str, devices=None) -> Mesh:
+    """Build a mesh from a user-facing CLI spec like
+    ``replica=2,data=2,space=2`` (the ``--mesh`` flag).
+
+    Rules:
+      * axis names are from MESH_AXES and must appear in canonical order
+        (replica before data before space) — the order IS the device
+        layout, and a trailing 'replica' would put DCN traffic on the
+        fastest-varying (most ICI-local) dimension;
+      * 'data' is required (it is what the batch shards over);
+      * one axis may be sized ``-1`` to absorb the remaining devices;
+      * the product must not exceed (and with no ``-1``, must divide into)
+        the available device count.
+    """
+    if devices is None:
+        devices = jax.devices()
+    axes: list[str] = []
+    sizes: list[int] = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise ValueError(
+                f"--mesh spec {spec!r}: expected name=size, got {part!r}"
+            )
+        name, size = part.split("=", 1)
+        name = name.strip()
+        if name not in MESH_AXES:
+            raise ValueError(
+                f"--mesh axis {name!r} unknown (choose from {MESH_AXES})"
+            )
+        if name in axes:
+            raise ValueError(f"--mesh axis {name!r} given twice in {spec!r}")
+        axes.append(name)
+        sizes.append(int(size))
+    if not axes:
+        raise ValueError(f"--mesh spec {spec!r} is empty")
+    if "data" not in axes:
+        raise ValueError(f"--mesh spec {spec!r} must include the 'data' axis")
+    order = [MESH_AXES.index(a) for a in axes]
+    if order != sorted(order):
+        raise ValueError(
+            f"--mesh axes must follow the order {MESH_AXES} "
+            f"(replica is the DCN axis and must lead); got {tuple(axes)}"
+        )
+    if sizes.count(-1) > 1:
+        raise ValueError(f"--mesh spec {spec!r}: at most one -1 wildcard")
+    if -1 in sizes:
+        known = int(np.prod([s for s in sizes if s != -1]))
+        if known <= 0 or len(devices) % known != 0:
+            raise ValueError(
+                f"--mesh spec {spec!r}: cannot fill -1 from {len(devices)} "
+                f"devices with the other axes at {known}"
+            )
+        sizes[sizes.index(-1)] = len(devices) // known
+    total = int(np.prod(sizes))
+    if total > len(devices):
+        raise ValueError(
+            f"--mesh spec {spec!r} needs {total} devices, "
+            f"have {len(devices)}"
+        )
+    return Mesh(
+        np.asarray(devices[:total]).reshape(tuple(sizes)), tuple(axes)
+    )
+
+
+def dp_size(mesh: Mesh) -> int:
+    """Number of ways the batch dimension is split (replica x data)."""
+    return int(
+        np.prod([mesh.shape[a] for a in ("replica", "data")
+                 if a in mesh.axis_names])
+    )
+
+
+_DIST_INITIALIZED = False
+
+
+def maybe_distributed_init(logger=None) -> bool:
+    """Multi-process (multi-host) bootstrap: call
+    ``jax.distributed.initialize`` exactly once when the standard
+    coordinator env vars are present, else no-op.
+
+    Recognized env (JAX's own convention, with bare fallbacks):
+      JAX_COORDINATOR_ADDRESS | COORDINATOR_ADDRESS   host:port of process 0
+      JAX_NUM_PROCESSES       | NUM_PROCESSES
+      JAX_PROCESS_ID          | PROCESS_ID
+
+    On Cloud TPU pods ``initialize()`` auto-detects everything, so setting
+    just JAX_COORDINATOR_ADDRESS= (empty ok? no — any of the three) is not
+    needed; we also honor JAX_AUTO_DISTRIBUTED=1 to force the autodetect
+    path.  After this, ``jax.devices()`` is the GLOBAL device list and the
+    meshes built here span hosts; each process feeds identical global
+    batches and ``jax.device_put`` uploads only its addressable shards.
+    """
+    global _DIST_INITIALIZED
+    import os
+
+    if _DIST_INITIALIZED:
+        return True
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    auto = os.environ.get("JAX_AUTO_DISTRIBUTED", "") in ("1", "true")
+    if not addr and not auto:
+        return False
+    kwargs = {}
+    if addr:
+        kwargs["coordinator_address"] = addr
+        nproc = os.environ.get("JAX_NUM_PROCESSES") or os.environ.get(
+            "NUM_PROCESSES"
+        )
+        pid = os.environ.get("JAX_PROCESS_ID") or os.environ.get("PROCESS_ID")
+        if nproc is not None:
+            kwargs["num_processes"] = int(nproc)
+        if pid is not None:
+            kwargs["process_id"] = int(pid)
+    jax.distributed.initialize(**kwargs)
+    _DIST_INITIALIZED = True
+    if logger:
+        logger.info(
+            "jax.distributed initialized: process %d/%d, %d global devices",
+            jax.process_index(), jax.process_count(), len(jax.devices()),
+        )
+    return True
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dimension over the data-parallel axes —
     jointly over ('replica', 'data') on a multi-slice hybrid mesh, so every
@@ -72,6 +205,19 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     if "replica" in mesh.axis_names:
         return NamedSharding(mesh, P(("replica", "data")))
     return NamedSharding(mesh, P("data"))
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for [N, H, W, C] image batches: batch over the DP axes
+    plus image HEIGHT over 'space' when the mesh has that axis (XLA SPMD
+    then inserts the conv halo exchanges).  Equals data_sharding on
+    meshes without 'space'."""
+    dp = (
+        ("replica", "data") if "replica" in mesh.axis_names else "data"
+    )
+    if "space" in mesh.axis_names and mesh.shape["space"] > 1:
+        return NamedSharding(mesh, P(dp, "space"))
+    return NamedSharding(mesh, P(dp))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
