@@ -42,7 +42,8 @@ class ExperimentConfig:
     # per backend — see DeviceAugmentConfig): affine warp
     # 'auto'|'pallas'|'band'|'gather'; gaussian blur
     # 'auto'|'band'|'band_bf16'|'shift'; resident-dataset row gather
-    # 'auto'|'take'|'pallas'.
+    # 'auto'|'take'|'pallas' (auto = the Pallas row-copy kernel on TPU:
+    # 55x over XLA's gather at bs128, hardware bit-exact).
     warp_impl: str = "auto"
     blur_impl: str = "auto"
     gather_impl: str = "auto"

@@ -80,11 +80,11 @@ class DeviceAugmentConfig:
     # elsewhere.
     blur_impl: str = "auto"
     # Resident-dataset row-gather implementation (gather_augment_encode):
-    # 'take' jnp.take (XLA gather — measured 6.8 ms per 19 MB bs32 batch,
-    # ~100x off DMA speed), 'pallas' scalar-prefetch row-copy kernel
-    # (ops/pallas/gather_kernel.py).  'auto': 'take' until the kernel is
-    # AOT-verified + measured on hardware (interpret mode does not prove
-    # Mosaic lowerability — round-2 lesson).
+    # 'take' jnp.take (XLA gather — superlinear collapse with batch size:
+    # 4.2 ms at bs32 but 134.3 ms at bs128 on v5e, 0.6 GB/s), 'pallas'
+    # scalar-prefetch row-copy kernel (ops/pallas/gather_kernel.py —
+    # batch-flat 2.3-2.5 ms, hardware bit-exact).  'auto': 'pallas' on
+    # TPU, 'take' elsewhere (interpret-mode Pallas on CPU is slow).
     gather_impl: str = "auto"
     warp_chunk: int = 64  # gather-row width (pixels); must divide the image
     # Peak-HBM bound: augment at most this many images at once (lax.map
@@ -456,11 +456,17 @@ def _resolve_blur_impl(impl: str) -> str:
 
 
 def _resolve_gather_impl(impl: str) -> str:
-    """'auto' -> 'take' everywhere for now: the Pallas row-copy kernel must
-    be AOT-verified + measured on hardware before auto selects it
-    (interpret mode does not prove Mosaic lowerability)."""
+    """'auto' -> 'pallas' on TPU, 'take' elsewhere.  Measured on v5e
+    (tools/hw_gather_check.py, round 4, 512-row 448px uint8 dataset):
+    XLA's whole-row gather collapses superlinearly with the batch —
+    4.2 ms at bs32 but **134.3 ms at bs128 (0.6 GB/s)**, where it was
+    67.7% of the entire bs128 augment program (XProf) — while the Pallas
+    scalar-prefetch row copy runs 2.3 / 2.5 ms (batch-size flat, 31.5
+    GB/s), bit-exact on hardware for the uint8 image and f32 box shapes."""
     if impl == "auto":
-        return "take"
+        return (
+            "pallas" if jax.default_backend() in ("tpu", "axon") else "take"
+        )
     return impl
 
 
