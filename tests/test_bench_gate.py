@@ -82,3 +82,26 @@ def test_healthy_probe_passes_gate():
         assert mod.wait_for_device(max_wait_s=10, probe_timeout_s=10) is True
     finally:
         del os.environ["YOLO_BENCH_PROBE_CMD"]
+
+
+def test_sigterm_flushes_partial_results():
+    """A driver kill (SIGTERM) mid-bench must flush whatever was measured
+    as the one JSON line instead of dying silently (the full phase list
+    can outlive an unknown driver budget)."""
+    code = (
+        "import importlib.util, json, os, signal\n"
+        f"spec = importlib.util.spec_from_file_location('b', {BENCH!r})\n"
+        "m = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(m)\n"
+        "m.RESULTS.update({'metric': 'x', 'value': 123.0})\n"
+        "signal.signal(signal.SIGTERM, m._sigterm_handler)\n"
+        "os.kill(os.getpid(), signal.SIGTERM)\n"
+        "import time; time.sleep(5)\n"  # handler must exit before this
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=30,
+    )
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["value"] == 123.0
+    assert payload["error"] == "killed_mid_bench_partial_results"
