@@ -213,8 +213,10 @@ def main() -> None:
         # (argv tail, est seconds, result-key mapping from phase JSON)
         (["--e2e"], 600, {"e2e_ips": "train_e2e_imgs_per_sec",
                           "aug_ms": "augment_ms_per_batch"}),
-        (["--serve", "resnet50", "14"], 500, {"ips": "s14_imgs_per_sec"}),
-        (["--serve", "densenet121", "7"], 500, {"ips": "d121_imgs_per_sec"}),
+        (["--serve", "resnet50", "14"], 400, {"ips": "s14_imgs_per_sec"}),
+        # DenseNet-121's 120-conv concat graph compiles MUCH slower through
+        # the relay (>595 s measured round 4) — budget accordingly.
+        (["--serve", "densenet121", "7"], 900, {"ips": "d121_imgs_per_sec"}),
     ]
     for argv_tail, est_s, keymap in phases:
         remaining = deadline - time.monotonic()
@@ -365,8 +367,10 @@ def bench_train_e2e(
 
     S = 7
     rng = np.random.default_rng(0)
+    # FLAT [D, H, W*3] resident layout — what DeviceResidentLoader uploads
+    # (a rank-4 dataset costs a full-size in-program layout copy on TPU).
     images_all = jnp.asarray(
-        rng.integers(0, 255, (n_data, 448, 448, 3)).astype(np.uint8)
+        rng.integers(0, 255, (n_data, 448, 448 * 3)).astype(np.uint8)
     )
     boxes_all = np.zeros((n_data, MAX_BOXES, 4), np.float32)
     boxes_all[:, 0] = [0.5, 0.5, 0.4, 0.4]

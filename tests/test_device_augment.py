@@ -410,6 +410,30 @@ def test_gather_impl_pallas_matches_take_end_to_end(rng):
     )
 
 
+def test_gather_flat_resident_layout_matches_rank4(rng):
+    """The FLAT [D, H, W*3] resident layout (what DeviceResidentLoader
+    uploads — a rank-4 dataset costs a full-size in-program layout copy on
+    TPU, the 9.93 GB OOM of the round-4 VOC-scale rehearsal) must produce
+    bit-identical batches to the rank-4 layout, on both gather impls."""
+    from yolo_v1_tpu.data.device_augment import gather_augment_encode
+
+    images, boxes, labels, counts = make_batch(rng, n=6, size=112)
+    flat = np.ascontiguousarray(images).reshape(6, 112, 112 * 3)
+    idx = jnp.asarray([5, 2, 2, 0], jnp.int32)
+    for impl in ("take", "pallas"):
+        cfg = dataclasses.replace(DeviceAugmentConfig(), gather_impl=impl)
+        want = gather_augment_encode(
+            jax.random.PRNGKey(7), jnp.asarray(images), jnp.asarray(boxes),
+            jnp.asarray(labels), jnp.asarray(counts), idx, S=7, cfg=cfg,
+        )
+        got = gather_augment_encode(
+            jax.random.PRNGKey(7), jnp.asarray(flat), jnp.asarray(boxes),
+            jnp.asarray(labels), jnp.asarray(counts), idx, S=7, cfg=cfg,
+        )
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+
 def test_gather_rows_pallas_odd_shapes(rng):
     """Rows/cols that are not sublane/lane multiples still copy exactly
     (Mosaic pads the block tiles; the reshape keeps trailing dims intact)."""

@@ -725,20 +725,35 @@ def augment_and_encode_batch(
 
 def _gather_images(images_all: Array, idx: Array, cfg) -> Array:
     """Row-gather the image tensor per ``cfg.gather_impl`` (see
-    DeviceAugmentConfig; indices are loader-validated, in-range)."""
+    DeviceAugmentConfig; indices are loader-validated, in-range).
+
+    ``images_all`` may be rank-4 ``[D, H, W, 3]`` or the FLAT resident
+    layout rank-3 ``[D, H, W*3]`` (what DeviceResidentLoader uploads).
+    The flat layout matters at scale: the Pallas kernel's internal
+    ``reshape(D, rows, cols)`` of a rank-4 tensor is a LAYOUT CHANGE on
+    TPU, which XLA materializes as a full-dataset HBM temp — at VOC
+    cardinality (16,551 448px rows) that is a 9.93 GB copy that OOMed a
+    15.75 GB chip (caught live by the round-4 rehearsal run).  A rank-3
+    input makes the kernel's reshape a no-op; only the gathered BATCH is
+    reshaped back to [N, H, W, 3]."""
     impl = _resolve_gather_impl(cfg.gather_impl)
     if impl == "pallas":
         from yolo_v1_tpu.ops.pallas.gather_kernel import gather_rows_pallas
 
         interp = jax.default_backend() not in ("tpu", "axon")
-        return gather_rows_pallas(images_all, idx, interpret=interp)
-    return jnp.take(images_all, idx, axis=0)
+        out = gather_rows_pallas(images_all, idx, interpret=interp)
+    else:
+        out = jnp.take(images_all, idx, axis=0)
+    if out.ndim == 3:  # flat resident layout -> [N, H, W, 3]
+        n, h, wc = out.shape
+        out = out.reshape(n, h, wc // 3, 3)
+    return out
 
 
 @partial(jax.jit, static_argnames=("S", "B", "C", "cfg"))
 def gather_augment_encode(
     key: Array,
-    images_all: Array,  # [D, H, W, 3] uint8, device-resident dataset
+    images_all: Array,  # [D, H, W, 3] or flat [D, H, W*3] uint8 dataset
     boxes_all: Array,  # [D, M, 4]
     labels_all: Array,  # [D, M]
     counts_all: Array,  # [D]
@@ -782,7 +797,7 @@ def dp_axes_of(mesh) -> tuple[str, ...]:
 )
 def sharded_gather_augment_encode(
     key: Array,
-    images_all: Array,  # [D_pad, H, W, 3] uint8, sharded over dp axes
+    images_all: Array,  # [D_pad, H, W, 3] or flat [D_pad, H, W*3], sharded over dp axes
     boxes_all: Array,
     labels_all: Array,
     counts_all: Array,

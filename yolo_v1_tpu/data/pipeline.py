@@ -471,13 +471,21 @@ class DeviceResidentLoader:
         # RESOURCE_EXHAUST a 16 GB v5e).  The buffer is padded to a chunk
         # multiple so the updater compiles exactly once; the padded tail
         # rows are never indexed (batch indices are always < n).
+        # FLAT [D, H, W*3] resident layout: the Pallas row-copy kernel
+        # operates on [D, rows, cols] planes, and reshaping a rank-4
+        # dataset inside the program is a TPU layout change that
+        # materializes a full-dataset HBM temp — 9.93 GB at VOC
+        # cardinality, which OOMed the 15.75 GB chip in the round-4
+        # rehearsal.  Uploading pre-flattened makes the in-program reshape
+        # a no-op; only gathered batches are reshaped back (device_augment.
+        # _gather_images).
         n_pad = -(-n // upload_chunk) * upload_chunk
         images = jnp.zeros(
-            (n_pad, cfg.image_size, cfg.image_size, 3), jnp.uint8
+            (n_pad, cfg.image_size, cfg.image_size * 3), jnp.uint8
         )
         update = jax.jit(
             lambda buf, chunk, start: jax.lax.dynamic_update_slice(
-                buf, chunk, (start, 0, 0, 0)
+                buf, chunk, (start, 0, 0)
             ),
             donate_argnums=(0,),
         )
@@ -488,11 +496,11 @@ class DeviceResidentLoader:
             # is consumed before the call returns — reusing one staging
             # buffer across chunks could corrupt in-flight uploads.
             chunk = np.zeros(
-                (upload_chunk, cfg.image_size, cfg.image_size, 3), np.uint8
+                (upload_chunk, cfg.image_size, cfg.image_size * 3), np.uint8
             )
             for i in range(m):
                 img, b, l = dataset.load_raw(start + i)
-                chunk[i] = img
+                chunk[i] = img.reshape(cfg.image_size, -1)
                 k = min(len(b), MAX_BOXES)
                 boxes[start + i, :k] = b[:k]
                 labels[start + i, :k] = l[:k]
@@ -524,13 +532,15 @@ class DeviceResidentLoader:
         sharding = NamedSharding(self.mesh, P(dp if len(dp) > 1 else dp[0]))
         blocks = []
         for j in range(shards):
+            # Same FLAT [*, H, W*3] layout as the single-device upload (see
+            # the rank-4-reshape OOM note there).
             block = np.zeros(
-                (sl, cfg.image_size, cfg.image_size, 3), np.uint8
+                (sl, cfg.image_size, cfg.image_size * 3), np.uint8
             )
             for r in range(min(sl, n - j * sl)):
                 g = j * sl + r
                 img, b, l = dataset.load_raw(g)
-                block[r] = img
+                block[r] = img.reshape(cfg.image_size, -1)
                 k = min(len(b), MAX_BOXES)
                 boxes[g, :k] = b[:k]
                 labels[g, :k] = l[:k]
@@ -548,7 +558,7 @@ class DeviceResidentLoader:
             assert start % sl == 0 and (s.stop or n_pad) - start == sl, index
             return blocks[start // sl]
 
-        shape = (n_pad, cfg.image_size, cfg.image_size, 3)
+        shape = (n_pad, cfg.image_size, cfg.image_size * 3)
         self._images = jax.make_array_from_callback(shape, sharding, cb)
         pad = ((0, n_pad - n),) + ((0, 0),) * (boxes.ndim - 1)
         self._boxes = jax.device_put(np.pad(boxes, pad[:3]), sharding)
