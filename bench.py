@@ -367,10 +367,11 @@ def bench_train_e2e(
 
     S = 7
     rng = np.random.default_rng(0)
-    # FLAT [D, H, W*3] resident layout — what DeviceResidentLoader uploads
-    # (a rank-4 dataset costs a full-size in-program layout copy on TPU).
+    # TILE-EXACT FLAT [D, 8, H*W*3/8] resident layout — what
+    # DeviceResidentLoader uploads (rank-4 and [D,H,W*3] both cost a
+    # full-dataset layout copy on TPU; see data/pipeline.py).
     images_all = jnp.asarray(
-        rng.integers(0, 255, (n_data, 448, 448 * 3)).astype(np.uint8)
+        rng.integers(0, 255, (n_data, 8, 448 * 448 * 3 // 8)).astype(np.uint8)
     )
     boxes_all = np.zeros((n_data, MAX_BOXES, 4), np.float32)
     boxes_all[:, 0] = [0.5, 0.5, 0.4, 0.4]

@@ -418,7 +418,7 @@ def test_gather_flat_resident_layout_matches_rank4(rng):
     from yolo_v1_tpu.data.device_augment import gather_augment_encode
 
     images, boxes, labels, counts = make_batch(rng, n=6, size=112)
-    flat = np.ascontiguousarray(images).reshape(6, 112, 112 * 3)
+    flat = np.ascontiguousarray(images).reshape(6, 8, 112 * 112 * 3 // 8)
     idx = jnp.asarray([5, 2, 2, 0], jnp.int32)
     for impl in ("take", "pallas"):
         cfg = dataclasses.replace(DeviceAugmentConfig(), gather_impl=impl)
@@ -442,7 +442,6 @@ def test_gather_rows_pallas_odd_shapes(rng):
     for shape, dtype in (
         ((7, 13, 7), np.uint8),      # odd rows, odd cols
         ((5, 3, 11, 2), np.float32), # 4-D trailing flatten
-        ((4, 9), np.int32),          # 2-D minimum rank
     ):
         data = jnp.asarray(
             rng.integers(0, 100, shape).astype(dtype)
@@ -451,4 +450,12 @@ def test_gather_rows_pallas_odd_shapes(rng):
         out = gather_rows_pallas(data, idx, interpret=True)
         np.testing.assert_array_equal(
             np.asarray(out), np.asarray(jnp.take(data, idx, axis=0))
+        )
+    # Rank-2 is rejected loudly: a (1, cols) block cannot satisfy Mosaic's
+    # (8, 128)-divisibility rule on hardware (callers reshape to
+    # [D, 8, cols/8] — the tile-exact resident layout).
+    with pytest.raises(ValueError, match=">= 3 dims"):
+        gather_rows_pallas(
+            jnp.zeros((4, 9), jnp.int32), jnp.zeros((2,), jnp.int32),
+            interpret=True,
         )

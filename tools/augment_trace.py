@@ -31,7 +31,7 @@ def capture(batch: int, out_dir: str) -> None:
     n_data = 512
     rng = np.random.default_rng(0)
     images_all = jnp.asarray(  # flat resident layout (pipeline.py upload)
-        rng.integers(0, 255, (n_data, 448, 448 * 3)).astype(np.uint8)
+        rng.integers(0, 255, (n_data, 8, 448 * 448 * 3 // 8)).astype(np.uint8)
     )
     boxes_all = np.zeros((n_data, MAX_BOXES, 4), np.float32)
     boxes_all[:, 0] = [0.5, 0.5, 0.4, 0.4]

@@ -187,6 +187,11 @@ def cmd_train(argv: list[str]) -> int:
             logger=logger,
         )
 
+    # Visible marker: on relay-attached TPUs the init + import below is a
+    # multi-minute silent window (hundreds of initializer dispatches) —
+    # the VOC-scale rehearsal measured ~16 min before the first epoch log.
+    logger.info("building %s state (device init%s)...", cfg.backbone,
+                " + torch import" if cfg.pretrained_torch else "")
     state, _ = _build_state(cfg, steps_per_epoch=max(len(loader), 1), logger=logger)
     manager = ckpt.CheckpointManager(
         save_dir, history_keep=cfg.keep_checkpoints

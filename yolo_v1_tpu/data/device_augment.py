@@ -727,15 +727,16 @@ def _gather_images(images_all: Array, idx: Array, cfg) -> Array:
     """Row-gather the image tensor per ``cfg.gather_impl`` (see
     DeviceAugmentConfig; indices are loader-validated, in-range).
 
-    ``images_all`` may be rank-4 ``[D, H, W, 3]`` or the FLAT resident
-    layout rank-3 ``[D, H, W*3]`` (what DeviceResidentLoader uploads).
-    The flat layout matters at scale: the Pallas kernel's internal
-    ``reshape(D, rows, cols)`` of a rank-4 tensor is a LAYOUT CHANGE on
-    TPU, which XLA materializes as a full-dataset HBM temp — at VOC
-    cardinality (16,551 448px rows) that is a 9.93 GB copy that OOMed a
-    15.75 GB chip (caught live by the round-4 rehearsal run).  A rank-3
-    input makes the kernel's reshape a no-op; only the gathered BATCH is
-    reshaped back to [N, H, W, 3]."""
+    ``images_all`` may be rank-4 ``[D, H, W, 3]`` or a FLAT rank-3 layout
+    of SQUARE images — canonically the tile-exact ``[D, 8, H*W*3/8]``
+    that DeviceResidentLoader uploads.  The flat layout matters at scale
+    (two OOMs measured at VOC cardinality, 16,551 448px rows): a rank-4
+    dataset costs a 9.93 GB in-program reshape copy, and a ``[D,H,W*3]``
+    one costs the same as an input-normalization copy (1344 lanes pad to
+    1408 in the XLA tiled layout).  ``[D, 8, 75264]`` has zero layout
+    padding -> zero copies (AOT-verified, tools/gather_layout_probe.py).
+    Only the gathered BATCH reshapes back to [N, H, W, 3] (H = W =
+    sqrt(row/3))."""
     impl = _resolve_gather_impl(cfg.gather_impl)
     if impl == "pallas":
         from yolo_v1_tpu.ops.pallas.gather_kernel import gather_rows_pallas
@@ -744,9 +745,12 @@ def _gather_images(images_all: Array, idx: Array, cfg) -> Array:
         out = gather_rows_pallas(images_all, idx, interpret=interp)
     else:
         out = jnp.take(images_all, idx, axis=0)
-    if out.ndim == 3:  # flat resident layout -> [N, H, W, 3]
-        n, h, wc = out.shape
-        out = out.reshape(n, h, wc // 3, 3)
+    if out.ndim == 3:  # flat resident layout (square images)
+        n = out.shape[0]
+        total = out.shape[1] * out.shape[2]
+        hw = int(round((total // 3) ** 0.5))
+        assert hw * hw * 3 == total, out.shape
+        out = out.reshape(n, hw, hw, 3)
     return out
 
 

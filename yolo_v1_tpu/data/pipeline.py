@@ -471,18 +471,21 @@ class DeviceResidentLoader:
         # RESOURCE_EXHAUST a 16 GB v5e).  The buffer is padded to a chunk
         # multiple so the updater compiles exactly once; the padded tail
         # rows are never indexed (batch indices are always < n).
-        # FLAT [D, H, W*3] resident layout: the Pallas row-copy kernel
-        # operates on [D, rows, cols] planes, and reshaping a rank-4
-        # dataset inside the program is a TPU layout change that
-        # materializes a full-dataset HBM temp — 9.93 GB at VOC
-        # cardinality, which OOMed the 15.75 GB chip in the round-4
-        # rehearsal.  Uploading pre-flattened makes the in-program reshape
-        # a no-op; only gathered batches are reshaped back (device_augment.
-        # _gather_images).
+        # TILE-EXACT FLAT [D, 8, H*W*3/8] resident layout.  Two measured
+        # OOMs at VOC cardinality (16,551 448px rows, 9.96 GB) forced it
+        # (round-4 rehearsal + tools/gather_layout_probe.py):
+        #   * rank-4 [D,H,W,3]: the gather kernel's internal reshape is a
+        #     TPU layout change -> 9.93 GB in-program temp;
+        #   * [D,H,W*3]: 1344 lanes pad to 1408 in the XLA tiled layout
+        #     and the program normalizes the INPUT with a 9.93 GB copy.
+        # [D, 8, 75264] has sublanes exactly 8 and lanes 588*128 — zero
+        # padding, zero copies (AOT temp = 0.000 GB at full VOC shape).
+        # Gathered batches reshape back to [N,H,W,3] (device_augment.
+        # _gather_images; square images only, which the pipeline enforces).
+        row = cfg.image_size * cfg.image_size * 3
+        assert row % 8 == 0, cfg.image_size
         n_pad = -(-n // upload_chunk) * upload_chunk
-        images = jnp.zeros(
-            (n_pad, cfg.image_size, cfg.image_size * 3), jnp.uint8
-        )
+        images = jnp.zeros((n_pad, 8, row // 8), jnp.uint8)
         update = jax.jit(
             lambda buf, chunk, start: jax.lax.dynamic_update_slice(
                 buf, chunk, (start, 0, 0)
@@ -495,12 +498,10 @@ class DeviceResidentLoader:
             # and jax's host-buffer semantics don't promise the numpy array
             # is consumed before the call returns — reusing one staging
             # buffer across chunks could corrupt in-flight uploads.
-            chunk = np.zeros(
-                (upload_chunk, cfg.image_size, cfg.image_size * 3), np.uint8
-            )
+            chunk = np.zeros((upload_chunk, 8, row // 8), np.uint8)
             for i in range(m):
                 img, b, l = dataset.load_raw(start + i)
-                chunk[i] = img.reshape(cfg.image_size, -1)
+                chunk[i] = img.reshape(8, -1)
                 k = min(len(b), MAX_BOXES)
                 boxes[start + i, :k] = b[:k]
                 labels[start + i, :k] = l[:k]
@@ -530,17 +531,17 @@ class DeviceResidentLoader:
         n_pad = sl * shards
         dp = dp_axes_of(self.mesh)
         sharding = NamedSharding(self.mesh, P(dp if len(dp) > 1 else dp[0]))
+        row = cfg.image_size * cfg.image_size * 3
+        assert row % 8 == 0, cfg.image_size
         blocks = []
         for j in range(shards):
-            # Same FLAT [*, H, W*3] layout as the single-device upload (see
-            # the rank-4-reshape OOM note there).
-            block = np.zeros(
-                (sl, cfg.image_size, cfg.image_size * 3), np.uint8
-            )
+            # Same TILE-EXACT FLAT [*, 8, H*W*3/8] layout as the
+            # single-device upload (see the OOM notes there).
+            block = np.zeros((sl, 8, row // 8), np.uint8)
             for r in range(min(sl, n - j * sl)):
                 g = j * sl + r
                 img, b, l = dataset.load_raw(g)
-                block[r] = img.reshape(cfg.image_size, -1)
+                block[r] = img.reshape(8, -1)
                 k = min(len(b), MAX_BOXES)
                 boxes[g, :k] = b[:k]
                 labels[g, :k] = l[:k]
@@ -558,7 +559,7 @@ class DeviceResidentLoader:
             assert start % sl == 0 and (s.stop or n_pad) - start == sl, index
             return blocks[start // sl]
 
-        shape = (n_pad, cfg.image_size, cfg.image_size * 3)
+        shape = (n_pad, 8, row // 8)
         self._images = jax.make_array_from_callback(shape, sharding, cb)
         pad = ((0, n_pad - n),) + ((0, 0),) * (boxes.ndim - 1)
         self._boxes = jax.device_put(np.pad(boxes, pad[:3]), sharding)

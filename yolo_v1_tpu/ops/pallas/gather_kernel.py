@@ -41,13 +41,20 @@ def _copy_kernel(idx_ref, src_ref, out_ref):
 def gather_rows_pallas(data: Array, idx: Array, *, interpret: bool = False):
     """``data[idx]`` along axis 0 as N double-buffered block copies.
 
-    data: [D, ...] (>= 2 dims; trailing dims are flattened to a 2-D
+    data: [D, ...] (>= 3 dims; trailing dims are flattened to a 2-D
     [rows, cols] plane per block — [448, 1344] for a 448px RGB image,
     631 KB of VMEM per buffer).  idx: [N] integer.  Returns [N, ...] with
     ``data``'s trailing shape and dtype.
     """
-    if data.ndim < 2:
-        raise ValueError("gather_rows_pallas needs >= 2 dims")
+    if data.ndim < 3:
+        # Rank-2 is NOT supported: a (1, cols) block fails Mosaic's
+        # last-two-dims (8, 128)-divisibility rule (measured on hardware).
+        # Callers with flat rows reshape to [D, 8, cols/8] instead — the
+        # tile-exact resident layout (data/pipeline.py), whose XLA layout
+        # has zero padding so the operand needs no whole-dataset copy
+        # (two 9.93 GB-copy OOMs measured at VOC scale without it;
+        # tools/gather_layout_probe.py).
+        raise ValueError("gather_rows_pallas needs >= 3 dims")
     D, rows = data.shape[0], data.shape[1]
     cols = 1
     for s in data.shape[2:]:
