@@ -2,6 +2,7 @@
 8-device CPU platform."""
 
 import importlib.util
+import os
 
 import jax
 import numpy as np
@@ -111,3 +112,88 @@ def test_graft_entry_contract():
 def test_graft_dryrun_multichip():
     mod = _load_graft()
     mod.dryrun_multichip(8)  # asserts internally; conftest already forced cpu
+
+
+@pytest.mark.slow
+def test_two_process_distributed_train_step(tmp_path):
+    """REAL multi-host smoke: two OS processes, 4 virtual CPU devices
+    each, joined by jax.distributed.initialize (gloo collectives), running
+    the production mesh_from_spec + jit_train_step + put_global path.
+    Losses must be finite, decreasing, identical across processes, AND
+    identical to the single-process 8-device run (this test's own
+    environment) — per-host shard feeding changes nothing numerically."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    worker = os.path.join(os.path.dirname(__file__), "multiprocess_worker.py")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, worker, str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    losses = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("LOSSES")]
+        assert line, out
+        losses.append([float(x) for x in line[0].split()[1:]])
+    assert losses[0] == losses[1]
+    assert losses[0][-1] < losses[0][0]
+
+    # Single-process reference on this test env's own 8-device mesh.
+    from yolo_v1_tpu.losses.yolov1 import YoloV1LossConfig
+    from yolo_v1_tpu.parallel.mesh import (
+        data_sharding, image_sharding, mesh_from_spec, put_global,
+    )
+    from yolo_v1_tpu.train.loop import jit_train_step
+    from yolo_v1_tpu.train.state import create_train_state, make_optimizer
+
+    # Importing the worker would re-run distributed init; only reuse its
+    # fixture builder by exec'ing that single function:
+    src = open(worker).read()
+    ns = {}
+    exec(  # noqa: S102 - test-local, fixture code only
+        src[src.index("def make_fixture"):src.index("def main")], ns
+    )
+    import numpy as _np
+
+    ns["np"] = _np
+    from yolo_v1_tpu.core.grid import encode_targets as _enc
+
+    ns["encode_targets"] = _enc
+    images, targets = ns["make_fixture"]()
+
+    from yolo_v1_tpu.models.registry import build_model
+
+    mesh = mesh_from_spec("data=8")
+    model = build_model("tiny", S=7)
+    tx = make_optimizer(lambda s: 1e-2, "sgd", momentum=0.9)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (8, 112, 112, 3), tx
+    )
+    step = jit_train_step(YoloV1LossConfig(S=7), mesh)
+    ref = []
+    for _ in range(3):
+        state, parts = step(
+            state,
+            put_global(images, image_sharding(mesh)),
+            put_global(targets, data_sharding(mesh)),
+        )
+        ref.append(float(parts["total"]))
+    # Cross-process psum (gloo) reduces in a different order than the
+    # single-process XLA collective — float32 agreement is ~1e-4 relative,
+    # not bit-exact (measured 21.193609 vs 21.193710 on step 1).
+    np.testing.assert_allclose(losses[0], ref, rtol=5e-4)

@@ -224,6 +224,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(arr, sharding: NamedSharding):
+    """Place a host batch under ``sharding``, multi-process safe.
+
+    Single process: plain ``device_put``.  Multi-process (after
+    ``maybe_distributed_init``): every process holds the SAME global numpy
+    batch (loaders are seeded identically), and each uploads only the
+    shards its local devices own — the per-host data feeding step of a
+    multi-host run (``device_put`` of a global array onto a sharding that
+    spans non-addressable devices is not portable)."""
+    if isinstance(arr, jax.Array) and arr.sharding == sharding:
+        return arr  # already placed (e.g. device-resident loader output)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    global_shape = arr.shape
+    index_map = sharding.addressable_devices_indices_map(global_shape)
+    arrays = [jax.device_put(arr[idx], d) for d, idx in index_map.items()]
+    return jax.make_array_from_single_device_arrays(
+        global_shape, sharding, arrays
+    )
+
+
 def shard_batch(mesh: Mesh, *arrays):
     """Device-put arrays with the batch dimension sharded over 'data'."""
     sh = data_sharding(mesh)

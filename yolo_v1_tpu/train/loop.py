@@ -34,7 +34,7 @@ from jax.sharding import Mesh
 
 from yolo_v1_tpu.losses.yolov1 import YoloV1LossConfig, yolo_v1_loss
 from yolo_v1_tpu.parallel.mesh import (
-    data_sharding, image_sharding, pad_to_multiple, replicated,
+    data_sharding, image_sharding, pad_to_multiple, put_global, replicated,
 )
 from yolo_v1_tpu.train.state import TrainState
 
@@ -176,9 +176,11 @@ def fit(
     """
     config = config or FitConfig()
     if mesh is not None:
+        # put_global: multi-process safe (each host uploads only its
+        # addressable shards of the identical global batch).
         dat_sh, img_sh = data_sharding(mesh), image_sharding(mesh)
-        put = lambda a: jax.device_put(a, dat_sh)  # noqa: E731
-        put_img = lambda a: jax.device_put(a, img_sh)  # noqa: E731
+        put = lambda a: put_global(a, dat_sh)  # noqa: E731
+        put_img = lambda a: put_global(a, img_sh)  # noqa: E731
     else:
         put = put_img = jnp.asarray
     # Resume restores the mAP gates too (persisted in the checkpoint), so a
