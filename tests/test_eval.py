@@ -144,3 +144,39 @@ def test_evaluator_07_metric_option(eval_setup):
     e = VocEvaluator(ds, gt_full=target, batch_size=8, use_07_metric=True)
     m = e.full_map(state)
     assert 0.0 <= m <= 1.0
+
+
+def test_device_cache_bounded_and_equivalent(eval_setup):
+    """The eval device-cache must stop admitting entries at its HBM bound
+    (round-4 rehearsal: an unbounded full-eval cache RESOURCE_EXHAUSTed
+    the chip next to a 10 GB resident dataset) — and a bounded cache must
+    produce the SAME mAP as uncached streaming."""
+    ds, target, gt = eval_setup
+    model = build_model("tiny", S=7)
+    tx = make_optimizer(lambda s: 1e-2)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 112, 112, 3), tx)
+
+    def build(cache):
+        ev = VocEvaluator(
+            ds, gt_full=target, batch_size=2, score_threshold=0.01,
+            device_cache=cache,
+        )
+        if cache:
+            # Force the byte-budget fallback path with room for ONE entry
+            # (CPU memory_stats may or may not report a limit).
+            ev._cache_budget_fallback = 2 * 112 * 112 * 3 + 1
+            ev._cache_reserve = 1 << 62  # memory_stats path always refuses
+        return ev
+
+    ev_stream = build(False)
+    ev_cached = build(True)
+    map_stream = ev_stream.full_map(state)
+    map_cached1 = ev_cached.full_map(state)
+    map_cached2 = ev_cached.full_map(state)  # second pass: cache hit + stream mix
+    assert map_cached1 == pytest.approx(map_stream, abs=1e-9)
+    assert map_cached2 == pytest.approx(map_stream, abs=1e-9)
+    # Bounded: exactly one entry fit the fallback budget.
+    assert len(ev_cached._device_cache) == 1
+    assert ev_cached._cache_full_logged or ev_cached._cache_bytes > 0
+    ev_stream.close()
+    ev_cached.close()

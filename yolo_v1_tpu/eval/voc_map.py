@@ -167,7 +167,15 @@ class VocEvaluator:
         cfg = dataset.config
         from concurrent.futures import ThreadPoolExecutor
 
-        self._pool = ThreadPoolExecutor(
+        # TWO executors, deliberately: _load_batch runs on the one-slot
+        # prefetch pool and fans its per-image load_raw calls out on the
+        # inner pool.  A single shared pool deadlocks by starvation the
+        # moment two batch loads are ever in flight (each outer task
+        # blocks on inner futures queued behind the outer tasks) — hit
+        # live once the device cache became partial: a cache hit orphans
+        # the in-flight prefetch while submitting the next one.
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._inner_pool = ThreadPoolExecutor(
             max_workers=max(dataset.config.num_workers, 2)
         )
         self.mesh = mesh
@@ -177,7 +185,20 @@ class VocEvaluator:
         # making the per-epoch 460 MB re-upload the eval bottleneck).  Under
         # a mesh the cached entries are batch-sharded device arrays, so the
         # cache composes with multi-chip eval unchanged.
+        #
+        # The cache is HBM-BOUNDED: alongside a device-resident VOC-scale
+        # train set (9.96 GB) an unbounded full-eval cache (3 GB at 4,952
+        # images) RESOURCE_EXHAUSTs the 16 GB chip mid-eval (measured live,
+        # round-4 rehearsal epoch 5's first gated full eval).  New entries
+        # are admitted only while the device reports enough free HBM
+        # (reserve covers eval activations + the next train epoch), with a
+        # fixed byte budget as the fallback when memory_stats is
+        # unavailable; past the bound, batches stream per eval instead.
         self._device_cache: dict | None = {} if device_cache else None
+        self._cache_bytes = 0
+        self._cache_budget_fallback = 1 << 30  # 1 GiB if no memory_stats
+        self._cache_reserve = 3 << 30  # keep >= 3 GiB HBM free
+        self._cache_full_logged = False
         # The compiled batch shape must divide the mesh; round up and let
         # the host-side trim (below) drop the padded rows' detections.
         n_mesh = mesh.devices.size if mesh is not None else 1
@@ -196,10 +217,36 @@ class VocEvaluator:
         # builds GT at 448; bbox_un_norm :347 scales dets the same way).
         self.image_size = eval_image_size
 
+    def _cache_admit(self, entry_bytes: int) -> bool:
+        """Admit a new device-cache entry only while HBM headroom holds
+        (see the bound rationale in __init__)."""
+        free = None
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            if stats and "bytes_limit" in stats:
+                free = stats["bytes_limit"] - stats["bytes_in_use"]
+        except Exception:
+            pass
+        if free is not None:
+            ok = free - entry_bytes >= self._cache_reserve
+        else:
+            ok = self._cache_bytes + entry_bytes <= self._cache_budget_fallback
+        if ok:
+            self._cache_bytes += entry_bytes
+        elif not self._cache_full_logged:
+            self._cache_full_logged = True
+            if self.logger:
+                self.logger.info(
+                    "eval device-cache bounded at %.2f GB (HBM headroom); "
+                    "further batches stream per eval",
+                    self._cache_bytes / 1e9,
+                )
+        return ok
+
     def _load_batch(self, start: int, n: int):
         idxs = list(range(start, min(start + self.batch_size, n)))
         futures = [
-            self._pool.submit(self.dataset.load_raw, i) for i in idxs
+            self._inner_pool.submit(self.dataset.load_raw, i) for i in idxs
         ]
         images = np.stack([f.result()[0] for f in futures])  # uint8 RGB
         ids = [image_id_of(self.dataset.image_path(i)) for i in idxs]
@@ -212,7 +259,11 @@ class VocEvaluator:
         # One-batch-ahead prefetch: decode/resize the next batch on the
         # worker pool while the device runs the current one (the reference's
         # eval loop is fully serial per image, utils/utils.py:394-405).
-        pending = self._pool.submit(self._load_batch, 0, n)
+        # Skip the initial prefetch when batch 0 is already device-cached
+        # (it would load bs images nobody consumes).
+        pending = None
+        if self._device_cache is None or (0, min(bs, n)) not in self._device_cache:
+            pending = self._pool.submit(self._load_batch, 0, n)
         for start in range(0, n, bs):
             cache_key = (start, min(start + bs, n))
             if self._device_cache is not None and cache_key in self._device_cache:
@@ -234,7 +285,9 @@ class VocEvaluator:
                     device_images = shard_batch(self.mesh, images)
                 else:
                     device_images = jnp.asarray(images)
-                if self._device_cache is not None:
+                if self._device_cache is not None and self._cache_admit(
+                    device_images.size * device_images.dtype.itemsize
+                ):
                     self._device_cache[cache_key] = (device_images, ids)
             if start + bs < n and (
                 self._device_cache is None
@@ -262,9 +315,10 @@ class VocEvaluator:
         return mAP
 
     def close(self):
-        """Shut down the decode worker pool (a long-lived process embedding
+        """Shut down the decode worker pools (a long-lived process embedding
         many evaluators must not leak executors)."""
         self._pool.shutdown(wait=False, cancel_futures=True)
+        self._inner_pool.shutdown(wait=False, cancel_futures=True)
 
     def little_map(self, state: TrainState) -> float:
         return self._run(state, self.little_n, self.gt_little)
