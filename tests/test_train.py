@@ -442,6 +442,38 @@ def test_interrupt_during_eval_keeps_epoch_completed(tmp_path):
     assert last_completed == 0  # epoch 0's batches finished before the eval
 
 
+def test_crash_during_eval_keeps_epoch_checkpoint(tmp_path):
+    """A CRASH (not Ctrl-C) inside the evaluator must not lose the epoch
+    that just trained: 'latest' is saved before the eval runs (measured
+    live: the VOC-scale rehearsal's first gated full eval OOMed and the
+    resume re-trained the epoch from scratch)."""
+    from yolo_v1_tpu.train import checkpoint as ckpt
+
+    state, images, targets = _tiny_setup()
+    mgr = ckpt.CheckpointManager(str(tmp_path / "ck"))
+
+    class CrashingEval:
+        def little_map(self, s):
+            raise RuntimeError("simulated RESOURCE_EXHAUSTED mid-eval")
+
+        def full_map(self, s):
+            return 0.0
+
+    def loader(epoch):
+        yield images, targets
+
+    with pytest.raises(RuntimeError, match="mid-eval"):
+        fit(
+            state, loader, YoloV1LossConfig(S=7),
+            config=FitConfig(num_epochs=3),
+            evaluator=CrashingEval(), checkpointer=mgr,
+        )
+    mgr.wait()
+    restored, last_completed, _ = mgr.restore(_tiny_setup()[0])
+    assert last_completed == 0  # epoch 0 trained fully before the crash
+    assert int(restored.step) == 1
+
+
 def test_metric_writer_rotates_on_fresh_run(tmp_path):
     from yolo_v1_tpu.train.metrics import MetricWriter
 

@@ -355,6 +355,22 @@ def _fit_epochs(
                 epoch + 1, epoch_loss, time.perf_counter() - epoch_start,
             )
 
+            # Persist 'latest' BEFORE the eval (async; drains during the
+            # eval's compute): a crash inside the eval must not lose the
+            # epoch that just trained — measured live when the first gated
+            # full eval of the VOC-scale rehearsal OOMed and the resume
+            # re-trained epoch 4 from scratch.  The reference saves only
+            # after its eval (train.py:204-209) and loses the epoch the
+            # same way.  Gate extras here lag one eval by construction;
+            # the post-eval best-save below carries the fresh ones.
+            if checkpointer is not None and config.save_every_epoch:
+                checkpointer.save(
+                    state, epoch=epoch, best=False,
+                    extras={"best_map": result.best_map,
+                            "last_little_map": result.last_little_map},
+                    block=False,
+                )
+
             # --- validation + gated full mAP (train.py:186-202) ---
             test_map = 0.0
             if evaluator is not None:
@@ -398,9 +414,11 @@ def _fit_epochs(
                     result.best_map = test_map
                     info("new best test mAP %.5f", test_map)
                     checkpointer.save(state, epoch=epoch, best=True, extras=extras)
-                if config.save_every_epoch:
-                    # Async: the write drains during the next epoch's
-                    # compute (the manager serializes overlapping saves).
+                if config.save_every_epoch and evaluator is not None:
+                    # Refresh 'latest' with the post-eval gate extras (the
+                    # pre-eval save above protected the epoch; this one
+                    # keeps resume's gate state current).  Async: drains
+                    # during the next epoch's compute.
                     checkpointer.save(
                         state, epoch=epoch, best=False, extras=extras,
                         block=False,
@@ -438,4 +456,12 @@ def _fit_epochs(
     finally:
         if watchdog is not None:
             watchdog.stop()
+        if checkpointer is not None and hasattr(checkpointer, "wait"):
+            # Drain any in-flight async save before returning — a caller
+            # restoring immediately (tests, back-to-back resumes) must
+            # never race the last epoch's write.
+            try:
+                checkpointer.wait()
+            except Exception as e:  # pragma: no cover - disk-full etc.
+                info("final checkpoint drain failed: %s", e)
     return state, result
