@@ -76,6 +76,30 @@ def test_cli_train_and_map_on_mesh(voc_tree, tmp_path):
     assert rc == 0
 
 
+def test_cli_map_mesh_matches_single_device(voc_tree, tmp_path, capsys):
+    """cli map over an explicit --mesh must print the same mAP as the
+    single-device run (eval batches pad to the mesh; detections trim
+    host-side) — map shares serve/predict's mesh policy (round 4)."""
+    list_file, _ = voc_tree
+    save_dir = str(tmp_path / "runMM")
+    rc = cli.main(["train", *_train_args(list_file, save_dir)])
+    assert rc == 0
+    maps = {}
+    for spec in ("data=1", "data=4"):
+        capsys.readouterr()
+        rc = cli.main(
+            ["map", "--backbone", "tiny", "--S", "7", "--image_size", "112",
+             "--test_list", list_file, "--eval_batch_size", "8",
+             "--bf16", "false", "--mesh", spec, "--save_dir", save_dir]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        maps[spec] = float(out.strip().splitlines()[-1].split("mAP:")[1])
+    assert maps["data=1"] == pytest.approx(maps["data=4"], abs=1e-6)
+    log = open(os.path.join(save_dir, "map.log")).read()
+    assert "map mesh {'data': 4} over 4 devices" in log
+
+
 def test_cli_train_device_augment(voc_tree, tmp_path):
     list_file, _ = voc_tree
     save_dir = str(tmp_path / "runDA")

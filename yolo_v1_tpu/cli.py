@@ -349,6 +349,10 @@ def cmd_map(argv: list[str]) -> int:
         logger.warning("no checkpoint in %s; evaluating fresh weights", save_dir)
     if cfg.int8:
         state = _quantize_for_serving(state, test_ds, logger)
+    # Same mesh policy as serve/predict (explicit --mesh wins; auto DP
+    # over devices that divide the batch) — the evaluator pads eval
+    # batches to the mesh and trims detections host-side.
+    mesh = _serving_mesh(cfg, logger, "map")
     evaluator = VocEvaluator(
         test_ds,
         gt_full=prep_test_data(cfg.test_list),
@@ -356,9 +360,13 @@ def cmd_map(argv: list[str]) -> int:
         score_threshold=cfg.score_threshold,
         nms_threshold=cfg.nms_threshold,
         nms_impl=cfg.nms_impl,
+        mesh=mesh,
         logger=logger,
     )
-    mAP = evaluator.full_map(state)
+    try:
+        mAP = evaluator.full_map(state)
+    finally:
+        evaluator.close()
     print(f"mAP: {mAP:.6f}")
     return 0
 
