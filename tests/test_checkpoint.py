@@ -77,6 +77,26 @@ def test_history_retention_and_async_save(tmp_path):
     assert latest_epoch == 3  # 'latest' still tracks the newest save
 
 
+def test_history_false_skips_epoch_copy(tmp_path):
+    """save(history=False) updates 'latest' but writes no epoch_NNNN dir —
+    the trainer's pre-eval crash-safety save must not double each epoch's
+    history I/O (the post-eval refresh writes the one history copy)."""
+    import os
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), history_keep=2)
+    state = _state()
+    mgr.save(state, epoch=0, best=False, history=False)
+    assert not [
+        d for d in os.listdir(tmp_path / "ckpt") if d.startswith("epoch_")
+    ]
+    _, latest_epoch, _ = mgr.restore(_state())
+    assert latest_epoch == 0
+    mgr.save(state, epoch=0, best=False)  # post-eval refresh: history once
+    assert sorted(
+        d for d in os.listdir(tmp_path / "ckpt") if d.startswith("epoch_")
+    ) == ["epoch_0000"]
+
+
 def test_interrupted_first_epoch_saves_minus_one(tmp_path):
     """Interrupt during epoch 0 must record 'no epoch completed' (-1) so
     resume re-runs epoch 0 instead of skipping its remainder."""

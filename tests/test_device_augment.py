@@ -388,6 +388,20 @@ def test_gather_rows_pallas_matches_take(rng):
     )
 
 
+def test_gather_rows_pallas_clamps_adversarial_indices(rng):
+    """Out-of-range indices must NOT drive undefined block DMA: the entry
+    clamp pins them to the first/last row (jnp.take's mode='clip'
+    semantics), so adversarial indices yield defined rows."""
+    from yolo_v1_tpu.ops.pallas.gather_kernel import gather_rows_pallas
+
+    data = jnp.asarray(rng.integers(0, 255, (10, 16, 24, 3), np.uint8))
+    idx = jnp.asarray([-1, -100, 10, 999, 4], jnp.int32)
+    out = gather_rows_pallas(data, idx, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(jnp.take(data, idx, axis=0, mode="clip"))
+    )
+
+
 def test_gather_impl_pallas_matches_take_end_to_end(rng):
     """gather_augment_encode with gather_impl='pallas' (interpret on CPU)
     is bit-identical to the 'take' path — same keys, same augment."""

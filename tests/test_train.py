@@ -405,12 +405,95 @@ def test_gate_skipped_full_map_writes_no_point(tmp_path):
     writer = MetricWriter(str(tmp_path))
     fit(
         state, loader, YoloV1LossConfig(S=7),
-        config=FitConfig(num_epochs=3, run_full_map_threshold=0.585),
+        # full_eval_at_end=False pins the RAW reference gate semantics
+        # (train.py:194-201); the escape hatches are tested separately.
+        config=FitConfig(
+            num_epochs=3, run_full_map_threshold=0.585,
+            full_eval_at_end=False,
+        ),
         evaluator=GatedEval(), metric_writer=writer,
     )
     # Only epoch 1 passed the gate: exactly one mAP point, at x=1, no 0.0s.
     assert writer.history["mAP"] == [(1, 0.65)]
     assert [p[0] for p in writer.history["little mAP"]] == [0, 1, 2]
+    writer.close()
+
+
+def test_full_eval_at_end_catches_late_best(tmp_path):
+    """A final epoch whose strict-improvement gate skips the full eval
+    (little fell vs the previous epoch) still gets ONE fit-end full eval,
+    and a better result updates the best checkpoint — the VOC-scale
+    rehearsal's epoch-40 hole (train.log 'full mAP skipped (gate)' on the
+    best-ever little)."""
+    from yolo_v1_tpu.train import checkpoint as ckpt
+    from yolo_v1_tpu.train.metrics import MetricWriter
+
+    state, images, targets = _tiny_setup()
+
+    class LateBestEval:
+        def __init__(self):
+            self.littles = iter([0.8, 0.7])
+            self.fulls = iter([0.5, 0.9])
+
+        def little_map(self, s):
+            return next(self.littles)
+
+        def full_map(self, s):
+            return next(self.fulls)
+
+    def loader(epoch):
+        yield images, targets
+
+    writer = MetricWriter(str(tmp_path))
+    mgr = ckpt.CheckpointManager(str(tmp_path / "ck"))
+    state, result = fit(
+        state, loader, YoloV1LossConfig(S=7),
+        config=FitConfig(num_epochs=2, run_full_map_threshold=0.585),
+        evaluator=LateBestEval(), checkpointer=mgr, metric_writer=writer,
+    )
+    # Epoch 0 gated-in (0.5); epoch 1 gate skipped but the fit-end eval ran
+    # and its 0.9 became the new best.
+    assert result.best_map == pytest.approx(0.9)
+    assert writer.history["mAP"] == [(0, 0.5), (1, 0.9)]
+    assert mgr.exists(best=True)
+    _, _, extras = mgr.restore(_tiny_setup()[0], best=True)
+    assert extras["best_map"] == pytest.approx(0.9)
+    writer.close()
+
+
+def test_full_eval_every_overrides_gate(tmp_path):
+    """full_eval_every=N forces a full eval every N epochs even when the
+    strict-improvement gate would skip (threshold 1.0 here, so the gate
+    NEVER passes); no duplicate fit-end eval when the last epoch already
+    ran full."""
+    from yolo_v1_tpu.train.metrics import MetricWriter
+
+    state, images, targets = _tiny_setup()
+    calls = {"full": 0}
+
+    class NeverGatedEval:
+        def little_map(self, s):
+            return 0.5
+
+        def full_map(self, s):
+            calls["full"] += 1
+            return 0.4
+
+    def loader(epoch):
+        yield images, targets
+
+    writer = MetricWriter(str(tmp_path))
+    fit(
+        state, loader, YoloV1LossConfig(S=7),
+        config=FitConfig(
+            num_epochs=4, run_full_map_threshold=1.0, full_eval_every=2,
+        ),
+        evaluator=NeverGatedEval(), metric_writer=writer,
+    )
+    # Forced at epochs 1 and 3 (1-indexed 2 and 4); epoch 3 ran full so the
+    # fit-end hatch does not fire again.
+    assert calls["full"] == 2
+    assert [p[0] for p in writer.history["mAP"]] == [1, 3]
     writer.close()
 
 

@@ -240,6 +240,8 @@ def cmd_train(argv: list[str]) -> int:
                 run_full_map_threshold=cfg.run_full_map_threshold,
                 log_every=cfg.log_every,
                 watchdog_timeout_s=cfg.watchdog_timeout_s,
+                full_eval_every=cfg.full_eval_every,
+                full_eval_at_end=cfg.full_eval_at_end,
             ),
             evaluator=evaluator,
             checkpointer=manager,

@@ -106,6 +106,12 @@ class ExperimentConfig:
     score_threshold: float = 0.005
     nms_threshold: float = 0.45
     run_full_map_threshold: float = 0.585
+    # Gate escape hatches (train/loop.FitConfig): the reference's strict-
+    # improvement gate (train.py:194) can skip the full eval of a late best
+    # epoch — full_eval_every N forces a full eval every N epochs (0=off);
+    # full_eval_at_end runs one after the final epoch when its gate skipped.
+    full_eval_every: int = 0
+    full_eval_at_end: bool = True
     # Per-iteration loss logging window (train.py:175 logs every 5).  Each
     # log fetches device scalars = a pipeline flush; raise it on
     # high-dispatch-latency links (the dev relay) to keep steps pipelined.

@@ -16,9 +16,11 @@ vector is prefetched into SMEM, the source BlockSpec's index_map reads
 is a single VMEM copy.  The copy is double-buffered by the Pallas
 pipeline, so the whole gather runs at HBM bandwidth.
 
-Indices must be in-range: the index_map drives raw block DMA, so an
-out-of-range index reads undefined rows (``jnp.take`` clamps instead).
-Every caller feeds loader-validated permutation indices.
+Indices are CLAMPED to [0, D-1] at the entry: the index_map drives raw
+block DMA, so an out-of-range index would otherwise read undefined HBM
+rows.  The clamp gives ``jnp.take(mode='clip')`` semantics on
+adversarial indices and costs one [N] int32 elementwise op —
+unmeasurable against N row DMAs.
 """
 
 from __future__ import annotations
@@ -78,5 +80,5 @@ def gather_rows_pallas(data: Array, idx: Array, *, interpret: bool = False):
         ),
         out_shape=jax.ShapeDtypeStruct((N, rows, cols), data.dtype),
         interpret=interpret,
-    )(idx.astype(jnp.int32), flat)
+    )(jnp.clip(idx.astype(jnp.int32), 0, D - 1), flat)
     return out.reshape((N,) + data.shape[1:])

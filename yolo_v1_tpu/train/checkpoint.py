@@ -72,8 +72,14 @@ class CheckpointManager:
         best: bool = False,
         extras: dict | None = None,
         block: bool = True,
+        history: bool = True,
     ) -> None:
-        """``epoch`` is the LAST COMPLETED epoch (-1 = none completed)."""
+        """``epoch`` is the LAST COMPLETED epoch (-1 = none completed).
+
+        ``history=False`` skips the ``epoch_NNNN`` retention copy — used by
+        the trainer's pre-eval crash-safety save so each epoch's history
+        dir is written once (by the post-eval refresh, with fresh gate
+        extras) instead of twice per epoch on slow relay links."""
         payload = self._payload(state)
         payload["epoch"] = epoch
         payload.update(self._EXTRA_DEFAULTS)
@@ -96,7 +102,7 @@ class CheckpointManager:
         if os.path.isdir(target):
             os.rename(target, prev)
         self._ckptr.save(target, payload, force=True)
-        if self.history_keep > 0 and not best and epoch >= 0:
+        if history and self.history_keep > 0 and not best and epoch >= 0:
             self._ckptr.wait_until_finished()
             self._ckptr.save(
                 os.path.join(self.base_path, f"epoch_{epoch:04d}"),

@@ -128,6 +128,18 @@ class FitConfig:
     log_every: int = 5  # train.py:175
     run_full_map_threshold: float = 0.585  # train.py:137 (HEAD side)
     save_every_epoch: bool = True
+    # Escape hatches for the strict-improvement gate (train.py:194 requires
+    # little mAP to beat the LAST little, so a late run of improvements can
+    # end with its best epoch never fully evaluated — observed live at the
+    # VOC-scale rehearsal's final epoch, train.log "full mAP skipped
+    # (gate)" with the best-ever little).  Per-epoch gate semantics stay
+    # reference-faithful; these only ADD evals:
+    #   full_eval_every N  — force a full eval every N epochs (0 = off);
+    #   full_eval_at_end   — one full eval after the last epoch when that
+    #                        epoch's gate skipped it (default on).
+    # Both feed the best-checkpoint logic like any gated eval.
+    full_eval_every: int = 0
+    full_eval_at_end: bool = True
     # Stall watchdog (train/watchdog.py): hard-exit STALL_EXIT_CODE when no
     # step/eval/checkpoint heartbeat lands for this many seconds, so a
     # supervisor can resume from the last completed epoch.  Must exceed the
@@ -253,6 +265,7 @@ def _fit_epochs(
     step_fn = None
     mesh_n = mesh.devices.size if mesh is not None else 1
     padded = False
+    last_epoch_ran_full = False
     try:
         for epoch in range(start_epoch, config.num_epochs):
             info("Starting epoch %d / %d", epoch + 1, config.num_epochs)
@@ -364,11 +377,14 @@ def _fit_epochs(
             # same way.  Gate extras here lag one eval by construction;
             # the post-eval best-save below carries the fresh ones.
             if checkpointer is not None and config.save_every_epoch:
+                # history=False: the post-eval refresh below writes the
+                # epoch_NNNN history copy (once, with fresh gate extras) —
+                # this save only protects 'latest' across the eval.
                 checkpointer.save(
                     state, epoch=epoch, best=False,
                     extras={"best_map": result.best_map,
                             "last_little_map": result.last_little_map},
-                    block=False,
+                    block=False, history=False,
                 )
 
             # --- validation + gated full mAP (train.py:186-202) ---
@@ -379,7 +395,11 @@ def _fit_epochs(
                 ran_full = (
                     little > result.last_little_map
                     and little > config.run_full_map_threshold
+                ) or (
+                    config.full_eval_every > 0
+                    and (epoch + 1) % config.full_eval_every == 0
                 )
+                last_epoch_ran_full = ran_full
                 if ran_full:
                     test_map = evaluator.full_map(state)
                     beat()
@@ -426,6 +446,32 @@ def _fit_epochs(
             if metric_writer and hasattr(metric_writer, "render_html"):
                 metric_writer.render_html()
             beat()  # eval/checkpoint/render boundary completed
+        # --- fit-end full eval (gate escape hatch) ---
+        # The strict-improvement gate can skip the best epoch's full eval
+        # when improvements land late; one unconditional full eval of the
+        # final state closes that hole (FitConfig.full_eval_at_end).
+        if (
+            config.full_eval_at_end
+            and evaluator is not None
+            and completed_epoch >= start_epoch
+            and not last_epoch_ran_full
+        ):
+            final_map = evaluator.full_map(state)
+            beat()
+            info("fit-end full mAP %.5f (gate escape hatch)", final_map)
+            if metric_writer:
+                metric_writer.plot("mAP", final_map, step=completed_epoch)
+                if hasattr(metric_writer, "render_html"):
+                    metric_writer.render_html()
+            if final_map > result.best_map:
+                result.best_map = final_map
+                info("new best test mAP %.5f (fit-end eval)", final_map)
+                if checkpointer is not None:
+                    checkpointer.save(
+                        state, epoch=completed_epoch, best=True,
+                        extras={"best_map": result.best_map,
+                                "last_little_map": result.last_little_map},
+                    )
     except KeyboardInterrupt:
         # Graceful interruption: persist the in-flight state so --resume
         # works (the reference loses the whole epoch).
