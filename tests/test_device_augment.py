@@ -187,6 +187,48 @@ def test_pallas_warp_matches_band_warp(rng):
     np.testing.assert_array_equal(got[-1], np.asarray(img))
 
 
+def test_pallas_warp_column_chunks_match_full_row(rng):
+    """Column-chunked tap windows (the round-5 2x-arithmetic cut) vs the
+    full-row window: every output element sums exactly its two bilinear
+    taps either way, so outputs agree to f32 rounding (the compiled
+    graphs associate p = c_row*r + c_col*x + c_0 differently, ~1 ulp of
+    the source coordinate -> ~1e-5 on the hat weights; a numpy
+    recomputation of both window schemes is bit-identical).  Covers the
+    multi-chunk (256 = 2x128) and tail-chunk (192 = 128 + 64) lane
+    layouts the 448px production shape exercises (448 = 3x128 + 64)."""
+    from yolo_v1_tpu.data.device_augment import (
+        _affine_params, _pallas_warp_bounds,
+    )
+    from yolo_v1_tpu.ops.pallas.warp_kernel import (
+        _chunk_widths, warp_image_band_pallas,
+    )
+
+    assert _chunk_widths(448, 128) == [128, 128, 128, 64]
+    assert _chunk_widths(112, 128) == [112]
+    cfg = DeviceAugmentConfig()
+    cc_a, cc_b, cr_max = _pallas_warp_bounds(cfg)
+    for size in (256, 192):
+        imgs = jnp.asarray(
+            rng.uniform(0, 1, (2, size, size, 3)).astype(np.float32)
+        )
+        rss, offs = [], []
+        for seed in range(2):
+            rs, off = _affine_params(jax.random.PRNGKey(seed), size, cfg)
+            rss.append(rs)
+            offs.append(off)
+        kw = dict(cc_a=cc_a, cc_b=cc_b, cr_max=cr_max, interpret=True)
+        full = warp_image_band_pallas(
+            imgs, jnp.stack(rss), jnp.stack(offs), col_chunk=0, **kw
+        )
+        chunked = warp_image_band_pallas(
+            imgs, jnp.stack(rss), jnp.stack(offs), col_chunk=128, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(chunked), np.asarray(full), atol=5e-5,
+            err_msg=f"size {size}",
+        )
+
+
 def test_pallas_warp_bounds_cover_param_family(rng):
     """The static |coefficient| bounds that size the Pallas tap window must
     dominate every coefficient the affine-param sampler can draw."""

@@ -197,3 +197,109 @@ def test_two_process_distributed_train_step(tmp_path):
     # single-process XLA collective — float32 agreement is ~1e-4 relative,
     # not bit-exact (measured 21.193609 vs 21.193710 on step 1).
     np.testing.assert_allclose(losses[0], ref, rtol=5e-4)
+
+
+@pytest.mark.slow
+def test_two_process_distributed_fit_checkpoint_resume(tmp_path):
+    """REAL multi-host fit(): two processes drive the FULL production
+    training loop under jax.distributed — BatchLoader feeding, the real
+    VocEvaluator little-eval each epoch, collective CheckpointManager
+    saves, coordinator-gated log/metrics — then RESUME from the shared
+    checkpoint tree.  Asserts: losses and little-mAPs identical across
+    processes and (to gloo tolerance) equal to a single-process run; ONE
+    valid checkpoint tree; run-dir files written by process 0 only."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    from yolo_v1_tpu.data.synthetic import generate_dataset
+
+    data_dir, run_dir = str(tmp_path / "data"), str(tmp_path / "run")
+    generate_dataset(data_dir, n_train=16, n_test=8, image_size=112, seed=3)
+
+    worker = os.path.join(os.path.dirname(__file__), "multiprocess_worker.py")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, worker, str(i), str(port), "fit", data_dir,
+             run_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+
+    def parse(out, key):
+        line = [ln for ln in out.splitlines() if ln.startswith(key + " ")]
+        assert line, (key, out)
+        return [float(x) for x in line[0].split()[1:]]
+
+    # Identical across processes: the loop made the same decisions
+    # everywhere (no divergent gate/checkpoint state).
+    for key in ("FIT_LOSSES", "FIT_LITTLES", "RESUME_LOSSES"):
+        assert parse(outs[0], key) == parse(outs[1], key), (key, outs)
+    assert parse(outs[0], "RESUME_FROM") == [1.0]  # epochs 0-1 completed
+
+    # ONE valid checkpoint tree on the shared path: epoch 2 is the latest
+    # completed epoch after the resume leg; history keeps the newest two.
+    from yolo_v1_tpu.models.registry import build_model
+    from yolo_v1_tpu.train import checkpoint as ckpt
+    from yolo_v1_tpu.train.state import create_train_state, make_optimizer
+
+    st = create_train_state(
+        build_model("tiny", S=7), jax.random.PRNGKey(0), (8, 112, 112, 3),
+        make_optimizer(lambda s: 1e-2, "sgd", momentum=0.9),
+    )
+    restored, last_completed, gates = ckpt.CheckpointManager(run_dir).restore(st)
+    assert last_completed == 2
+    assert int(restored.step) == 6  # 3 epochs x 2 steps of batch 8 over 16
+    hist = sorted(d for d in os.listdir(run_dir) if d.startswith("epoch_"))
+    assert hist == ["epoch_0001", "epoch_0002"]
+
+    # Run-dir hygiene: exactly one metrics.csv / train.log, written by the
+    # coordinator (process 1's logger is stream-only, so no '[p1]' lines).
+    assert os.path.exists(os.path.join(run_dir, "metrics.csv"))
+    log = open(os.path.join(run_dir, "train.log")).read()
+    assert "[p1]" not in log
+    assert log.count("Starting epoch 1 /") == 1  # one writer, not two
+
+    # Single-process reference: same data, same loop, same epochs.
+    from yolo_v1_tpu.data.pipeline import (
+        BatchLoader, PipelineConfig, YoloDataset,
+    )
+    from yolo_v1_tpu.losses.yolov1 import YoloV1LossConfig
+    from yolo_v1_tpu.train.loop import FitConfig, fit
+
+    pipe_cfg = PipelineConfig(
+        image_size=112, S=7, B=2, C=20, seed=0, num_workers=2
+    )
+    loader = BatchLoader(
+        YoloDataset(
+            os.path.join(data_dir, "train.txt"), train=False, config=pipe_cfg
+        ),
+        batch_size=8,
+    )
+    state = create_train_state(
+        build_model("tiny", S=7), jax.random.PRNGKey(0), (8, 112, 112, 3),
+        make_optimizer(lambda s: 1e-2, "sgd", momentum=0.9),
+    )
+    state, result = fit(
+        state, loader.epoch, YoloV1LossConfig(S=7),
+        mesh=mesh_from_spec("data=8"),
+        config=FitConfig(num_epochs=2, log_every=100),
+    )
+    loader.close()
+    # Epoch 0 agrees to ~1e-4 (gloo vs XLA psum reduction order); epoch 1
+    # compounds that difference through 2 momentum-0.9 SGD updates of a
+    # tiny randomly-initialized net — measured 0.23% drift, so 1% bound.
+    np.testing.assert_allclose(
+        parse(outs[0], "FIT_LOSSES"), result.epoch_losses, rtol=1e-2
+    )

@@ -82,16 +82,31 @@ def _build_state(cfg: ExperimentConfig, steps_per_epoch: int, logger=None):
 
 def cmd_train(argv: list[str]) -> int:
     cfg = ExperimentConfig.from_args(argv)
-    save_dir = cfg.resolved_save_dir()
-    logger = create_logger(save_dir, "train")
-    writer = MetricWriter(save_dir, logger=logger, resume=cfg.resume)
-    pipe_cfg = _pipeline_config(cfg)
 
     from yolo_v1_tpu.parallel.mesh import (
-        dp_size, maybe_distributed_init, mesh_from_spec,
+        dp_size, is_coordinator, maybe_distributed_init, mesh_from_spec,
     )
 
-    maybe_distributed_init(logger)
+    # Distributed bootstrap FIRST: jax.distributed.initialize must precede
+    # any JAX backend use, and the logger/metric writer below query the
+    # process index to gate run-directory writes to the coordinator.
+    dist = maybe_distributed_init()
+    save_dir = cfg.resolved_save_dir()
+    logger = create_logger(save_dir, "train")
+    if dist:
+        logger.info(
+            "jax.distributed initialized: process %d/%d, %d global devices",
+            jax.process_index(), jax.process_count(), len(jax.devices()),
+        )
+    # Run-dir writers are coordinator-only in multi-process runs: every
+    # host computing into one shared metrics.csv/dashboard corrupts it.
+    writer = (
+        MetricWriter(save_dir, logger=logger, resume=cfg.resume)
+        if is_coordinator()
+        else None
+    )
+    pipe_cfg = _pipeline_config(cfg)
+
     mesh = None
     if cfg.mesh:
         # Explicit --mesh spec: replica (DCN) x data (ICI DP) x space
@@ -269,13 +284,13 @@ def _serving_mesh(cfg: ExperimentConfig, logger, label: str):
     """Shared serve/predict mesh policy: an explicit --mesh spec wins
     (batch must divide its DP split — the serving program has no padded
     rows to mask); otherwise auto data-parallel over every device whose
-    count divides the batch."""
+    count divides the batch.  Distributed init happens at each command's
+    TOP (it must precede the state build / checkpoint restore), not here.
+    """
     from yolo_v1_tpu.parallel.mesh import (
-        dp_size, largest_divisor_device_count, maybe_distributed_init,
-        mesh_from_spec,
+        dp_size, largest_divisor_device_count, mesh_from_spec,
     )
 
-    maybe_distributed_init(logger)
     if cfg.mesh:
         mesh = mesh_from_spec(cfg.mesh)
         dp = dp_size(mesh)
@@ -337,6 +352,9 @@ def _quantize_for_serving(
 def cmd_map(argv: list[str]) -> int:
     """Standalone mAP over the full test list (run_voc_mAP.py parity)."""
     cfg = ExperimentConfig.from_args(argv)
+    from yolo_v1_tpu.parallel.mesh import maybe_distributed_init
+
+    maybe_distributed_init()  # must precede _build_state/restore
     save_dir = cfg.resolved_save_dir()
     logger = create_logger(save_dir, "map")
     pipe_cfg = _pipeline_config(cfg)
@@ -444,6 +462,9 @@ def cmd_predict(argv: list[str]) -> int:
         print("predict requires --input <dir-or-list-file>")
         return 2
     cfg = ExperimentConfig.from_args(rest)
+    from yolo_v1_tpu.parallel.mesh import maybe_distributed_init
+
+    maybe_distributed_init()  # must precede _build_state/restore
     save_dir = cfg.resolved_save_dir()
     logger = create_logger(save_dir, "predict")
     state, model = _build_state(cfg, steps_per_epoch=1, logger=logger)
@@ -561,6 +582,9 @@ def cmd_serve(argv: list[str], block: bool = True):
             rest.append(argv[i])
             i += 1
     cfg = ExperimentConfig.from_args(rest)
+    from yolo_v1_tpu.parallel.mesh import maybe_distributed_init
+
+    maybe_distributed_init()  # must precede _build_state/restore
     if artifact:
         from yolo_v1_tpu.eval.export import ArtifactPredictor
 

@@ -104,10 +104,15 @@ def make_detector(
     from yolo_v1_tpu.parallel.mesh import data_sharding, replicated
 
     data = data_sharding(mesh)
+    # Multi-process: replicate the (tiny) detection outputs so every host
+    # can fetch them with np.asarray — a data-sharded output spanning other
+    # hosts' devices is not addressable here.  The all-gather is a few KB
+    # per batch over ICI; single-process keeps the zero-copy sharded form.
+    out = replicated(mesh) if jax.process_count() > 1 else data
     return jax.jit(
         detect,
         in_shardings=(replicated(mesh), data),
-        out_shardings=(data, data, data, data),
+        out_shardings=(out, out, out, out),
     )
 
 
@@ -280,9 +285,15 @@ class VocEvaluator:
                         [images, np.zeros_like(images[:1]).repeat(pad, 0)]
                     )
                 if self.mesh is not None:
-                    from yolo_v1_tpu.parallel.mesh import shard_batch
+                    # put_global: multi-process safe (each host uploads
+                    # only its addressable shards of the identical batch).
+                    from yolo_v1_tpu.parallel.mesh import (
+                        data_sharding, put_global,
+                    )
 
-                    device_images = shard_batch(self.mesh, images)
+                    device_images = put_global(
+                        images, data_sharding(self.mesh)
+                    )
                 else:
                     device_images = jnp.asarray(images)
                 if self._device_cache is not None and self._cache_admit(
@@ -344,9 +355,9 @@ class VocEvaluator:
                 [images, np.zeros_like(images[:1]).repeat(pad, 0)]
             )
         if self.mesh is not None:
-            from yolo_v1_tpu.parallel.mesh import shard_batch
+            from yolo_v1_tpu.parallel.mesh import data_sharding, put_global
 
-            device_images = shard_batch(self.mesh, images)
+            device_images = put_global(images, data_sharding(self.mesh))
         else:
             device_images = jnp.asarray(images)
         boxes, scores, classes, keep = jax.tree.map(

@@ -13,12 +13,23 @@ XLA formulations measured on v5e:
 
 This kernel removes the giant intermediates entirely: one grid step per
 image, the whole [448, 448*3] f32 plane lives in VMEM (2.4 MB of the
-16 MB budget), and each 8-output-row block loads one aligned [D8, W*C]
-tap window with a dynamic sublane slice and combines it with on-the-fly
+16 MB budget), and each 8-output-row block loads aligned [D8, lanes] tap
+windows with dynamic sublane slices and combines them with on-the-fly
 hat weights (max(0, 1-|p - tap|) is exactly the bilinear weight pair).
 Tap-window starts are precomputed on the host side of the program into
 SMEM (scalar-prefetch pattern) so the kernel never extracts scalars from
 vectors.
+
+**Column-chunked windows** (round 5): the tap-window height D must cover
+the banded spread of p across the lanes it serves — cc_max*(W-1) over a
+full 448-pixel row (D8=80 at the augment-config bounds), but only
+cc_max*127 over a 128-pixel chunk (D8=40; tail chunk 64px, D8=32).  The
+weight/multiply work is H * lanes * D, so chunking the row into 128-pixel
+column chunks (lane offsets stay multiples of 128: 128px * 3ch = 384
+lanes) halves the kernel's arithmetic at identical semantics — every
+output element still sums exactly its two bilinear taps.  ``col_chunk=0``
+restores the full-row window (the round-4 formulation) for A/B
+measurement.
 
 Semantics match ``data/device_augment._resample_axis0`` (exact 1-D
 bilinear along axis 0 at positions affine in both indices; taps outside
@@ -42,66 +53,86 @@ from jax.experimental.pallas import tpu as pltpu
 ROWS_BLK = 8  # output rows per inner iteration (sublane granule)
 
 
+def _chunk_widths(W: int, col_chunk: int) -> list[int]:
+    """Column-chunk pixel widths: full ``col_chunk`` chunks plus one tail.
+    ``col_chunk`` must be a multiple of 128/gcd(C,128); with C=3 that is
+    128, so every chunk's lane offset (width*3) is a multiple of 128 and
+    Mosaic lowers the static lane slices without relayout."""
+    if col_chunk <= 0 or col_chunk >= W:
+        return [W]
+    out = [col_chunk] * (W // col_chunk)
+    if W % col_chunk:
+        out.append(W % col_chunk)
+    return out
+
+
 def _resample_kernel(
     coef_ref,  # SMEM [1, 1, 4] f32: c_row, c_col, c_0, (pad)
-    start_ref,  # SMEM [1, 1, HB] int32: aligned tap-window start per block
+    start_ref,  # SMEM [1, nc, HB] int32: aligned tap-window start per (chunk, block)
     src_ref,  # VMEM [1, H, WC] f32
     out_ref,  # VMEM [1, H, WC] f32
     *,
-    D8: int,
+    widths: tuple[int, ...],  # chunk pixel widths
+    d8s: tuple[int, ...],  # tap-window height per chunk
     C: int,
 ):
-    H, WC = src_ref.shape[1], src_ref.shape[2]
+    H = src_ref.shape[1]
     c_row = coef_ref[0, 0, 0]
     c_col = coef_ref[0, 0, 1]
     c_0 = coef_ref[0, 0, 2]
-    # Lane -> source-column coordinate (the flattened row is pixel-major:
-    # x0c0 x0c1 x0c2 x1c0 ...).
-    xpix = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, WC), 1) // C
-    ).astype(jnp.float32)
-    # int32 iota then convert: Mosaic's tpu.iota is integer-only.
-    tap_rel = jax.lax.broadcasted_iota(jnp.int32, (D8, 1), 0).astype(
-        jnp.float32
-    )
 
     def blk(rb, _):
-        # starts are built 8-aligned on the host side (base//8*8 with D8
-        # a multiple of 8); multiple_of tells Mosaic so the sublane
-        # dynamic slice lowers.
-        start = pl.multiple_of(start_ref[0, 0, rb], ROWS_BLK)
-        sl = src_ref[0, pl.dslice(start, D8), :]  # [D8, WC]
-        tap = start.astype(jnp.float32) + tap_rel  # [D8, 1]
-        rows = []
-        for j in range(ROWS_BLK):
-            r = (rb * ROWS_BLK + j).astype(jnp.float32)
-            p = c_row * r + c_col * xpix + c_0  # [1, WC]
-            w = jnp.maximum(0.0, 1.0 - jnp.abs(p - tap))  # [D8, WC]
-            rows.append(jnp.sum(w * sl, axis=0, keepdims=True))
-        out_ref[0, pl.dslice(rb * ROWS_BLK, ROWS_BLK), :] = jnp.concatenate(
-            rows, axis=0
-        )
+        lane0 = 0
+        x0 = 0
+        for ci, (Wc, D8) in enumerate(zip(widths, d8s)):
+            WcC = Wc * C
+            # Lane -> source-column coordinate within this chunk (the
+            # flattened row is pixel-major: x0c0 x0c1 x0c2 x1c0 ...).
+            xpix = (
+                x0
+                + jax.lax.broadcasted_iota(jnp.int32, (1, WcC), 1) // C
+            ).astype(jnp.float32)
+            tap_rel = jax.lax.broadcasted_iota(jnp.int32, (D8, 1), 0).astype(
+                jnp.float32
+            )
+            # starts are built 8-aligned on the host side (base//8*8 with
+            # D8 a multiple of 8); multiple_of tells Mosaic so the sublane
+            # dynamic slice lowers.
+            start = pl.multiple_of(start_ref[0, ci, rb], ROWS_BLK)
+            sl = src_ref[0, pl.dslice(start, D8), lane0 : lane0 + WcC]
+            tap = start.astype(jnp.float32) + tap_rel  # [D8, 1]
+            rows = []
+            for j in range(ROWS_BLK):
+                r = (rb * ROWS_BLK + j).astype(jnp.float32)
+                p = c_row * r + c_col * xpix + c_0  # [1, WcC]
+                w = jnp.maximum(0.0, 1.0 - jnp.abs(p - tap))  # [D8, WcC]
+                rows.append(jnp.sum(w * sl, axis=0, keepdims=True))
+            out_ref[
+                0, pl.dslice(rb * ROWS_BLK, ROWS_BLK), lane0 : lane0 + WcC
+            ] = jnp.concatenate(rows, axis=0)
+            lane0 += WcC
+            x0 += Wc
         return 0
 
     jax.lax.fori_loop(0, H // ROWS_BLK, blk, 0, unroll=False)
 
 
-def _window_rows(cc_max: float, cr_max: float, W: int) -> int:
-    """Static tap-window height D8.
+def _window_rows(cc_max: float, cr_max: float, Wc: int) -> int:
+    """Static tap-window height D8 for a Wc-pixel column chunk.
 
-    Covers: the banded spread of p across a full W-wide row
-    (cc_max*(W-1)), the bilinear pair + floor slack (+3), the base drift
-    across ROWS_BLK output rows (cr_max*(ROWS_BLK-1)), and up to 7 rows
-    of downward 8-alignment of the start; rounded up to the sublane
-    granule.
+    Covers: the banded spread of p across the chunk (cc_max*(Wc-1)), the
+    bilinear pair + floor slack (+3), the base drift across ROWS_BLK
+    output rows (cr_max*(ROWS_BLK-1)), and up to 7 rows of downward
+    8-alignment of the start; rounded up to the sublane granule.
     """
-    D = int(np.ceil(cc_max * (W - 1))) + 3
+    D = int(np.ceil(cc_max * (Wc - 1))) + 3
     drift = int(np.ceil(cr_max * (ROWS_BLK - 1)))
     return -(-(D + drift + 8) // 8) * 8
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cc_max", "cr_max", "C", "interpret")
+    jax.jit,
+    static_argnames=("cc_max", "cr_max", "C", "col_chunk", "interpret"),
 )
 def resample_axis0_pallas(
     src: Array,  # [N, H, W*C] f32, flattened pixel rows
@@ -112,6 +143,7 @@ def resample_axis0_pallas(
     cc_max: float,
     cr_max: float,
     C: int = 3,
+    col_chunk: int = 128,
     interpret: bool = False,
 ) -> Array:
     """Batched banded 1-D bilinear resample along axis 1 (source rows) at
@@ -119,32 +151,48 @@ def resample_axis0_pallas(
 
     ``cc_max`` / ``cr_max`` are static upper bounds on |c_col| / |c_row|
     (derived from the augment config's parameter ranges) that size the
-    tap window; passing coefficients outside the bounds produces clipped
-    (wrong) output, so callers assert them.
+    tap windows; passing coefficients outside the bounds produces clipped
+    (wrong) output, so callers assert them.  ``col_chunk``: pixel width of
+    the per-window column chunks (0 = one full-row window; see module
+    docstring for why chunking halves the arithmetic).
     """
     N, H, WC = src.shape
     W = WC // C
-    D8 = _window_rows(cc_max, cr_max, W)
-    if D8 > H:
+    widths = _chunk_widths(W, col_chunk)
+    d8s = [_window_rows(cc_max, cr_max, Wc) for Wc in widths]
+    if max(d8s) > H:
         raise ValueError(
-            f"tap window D8={D8} exceeds H={H}; cc_max={cc_max} too large "
-            "for the Pallas warp (use warp_impl='band')"
+            f"tap window D8={max(d8s)} exceeds H={H}; cc_max={cc_max} too "
+            "large for the Pallas warp (use warp_impl='band')"
         )
     HB = H // ROWS_BLK
+    nc = len(widths)
     coefs = jnp.stack(
         [c_row, c_col, c_0, jnp.zeros_like(c_0)], axis=1
     )[:, None, :]  # [N, 1, 4]
-    # Aligned tap-window start per (image, row block), on the XLA side:
-    # base(r) = floor(min_x p(r, x)) is monotonic in r within a block, so
-    # the block minimum is min(base(r0), base(r0+7)).
-    r0 = jnp.arange(HB, dtype=jnp.float32)[None, :] * ROWS_BLK  # [1, HB]
-    cmin = jnp.minimum(0.0, c_col * (W - 1.0))[:, None]  # [N, 1]
-    b_lo = c_row[:, None] * r0 + c_0[:, None] + cmin
-    b_hi = c_row[:, None] * (r0 + ROWS_BLK - 1) + c_0[:, None] + cmin
+    # Aligned tap-window start per (image, chunk, row block), on the XLA
+    # side: base(r) = floor(min_x p(r, x)) over the chunk's x-range is
+    # monotonic in r within a block, so the block minimum is
+    # min(base(r0), base(r0+7)).
+    r0 = jnp.arange(HB, dtype=jnp.float32)[None, None, :] * ROWS_BLK
+    x_lo = np.cumsum([0] + list(widths[:-1])).astype(np.float32)  # [nc]
+    x_hi = x_lo + np.asarray(widths, np.float32) - 1.0
+    cmin = jnp.minimum(
+        c_col[:, None] * x_lo[None, :], c_col[:, None] * x_hi[None, :]
+    )[..., None]  # [N, nc, 1]
+    b_lo = c_row[:, None, None] * r0 + c_0[:, None, None] + cmin
+    b_hi = (
+        c_row[:, None, None] * (r0 + ROWS_BLK - 1)
+        + c_0[:, None, None]
+        + cmin
+    )
     base = jnp.floor(jnp.minimum(b_lo, b_hi)).astype(jnp.int32)
-    starts = jnp.clip(base // 8 * 8, 0, H - D8)[:, None, :]  # [N, 1, HB]
+    hi = jnp.asarray([H - d for d in d8s], jnp.int32)[None, :, None]
+    starts = jnp.clip(base // 8 * 8, 0, hi)  # [N, nc, HB]
 
-    kernel = functools.partial(_resample_kernel, D8=D8, C=C)
+    kernel = functools.partial(
+        _resample_kernel, widths=tuple(widths), d8s=tuple(d8s), C=C
+    )
     return pl.pallas_call(
         kernel,
         grid=(N,),
@@ -153,7 +201,7 @@ def resample_axis0_pallas(
                 (1, 1, 4), lambda n: (n, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, 1, HB), lambda n: (n, 0, 0), memory_space=pltpu.SMEM
+                (1, nc, HB), lambda n: (n, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec((1, H, WC), lambda n: (n, 0, 0)),
         ],
@@ -171,6 +219,7 @@ def warp_image_band_pallas(
     cc_a: float,
     cc_b: float,
     cr_max: float,
+    col_chunk: int = 128,
     interpret: bool = False,
 ) -> Array:
     """Two-pass affine warp (same Catmull-Smith decomposition and
@@ -189,11 +238,13 @@ def warp_image_band_pallas(
     cy_0 = o[:, 1] - a[:, 1, 0] / a[:, 0, 0] * o[:, 0]
     t = resample_axis0_pallas(
         imgs.reshape(N, H, W * C), cy_u, cy_x, cy_0,
-        cc_max=cc_a, cr_max=cr_max, C=C, interpret=interpret,
+        cc_max=cc_a, cr_max=cr_max, C=C, col_chunk=col_chunk,
+        interpret=interpret,
     ).reshape(N, H, W, C)
     t = jnp.swapaxes(t, 1, 2)  # [N, W, H, C]
     out = resample_axis0_pallas(
         t.reshape(N, W, H * C), a[:, 0, 0], a[:, 0, 1], o[:, 0],
-        cc_max=cc_b, cr_max=cr_max, C=C, interpret=interpret,
+        cc_max=cc_b, cr_max=cr_max, C=C, col_chunk=col_chunk,
+        interpret=interpret,
     ).reshape(N, W, H, C)
     return jnp.swapaxes(out, 1, 2)

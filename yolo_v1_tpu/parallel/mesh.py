@@ -82,8 +82,10 @@ def mesh_from_spec(spec: str, devices=None) -> Mesh:
         fastest-varying (most ICI-local) dimension;
       * 'data' is required (it is what the batch shards over);
       * one axis may be sized ``-1`` to absorb the remaining devices;
-      * the product must not exceed (and with no ``-1``, must divide into)
-        the available device count.
+      * the product must not exceed the available device count.  A
+        product that does not DIVIDE the device count is allowed but
+        leaves the remainder idle — a warning is emitted (use ``-1`` to
+        absorb every device).
     """
     if devices is None:
         devices = jax.devices()
@@ -132,6 +134,15 @@ def mesh_from_spec(spec: str, devices=None) -> Mesh:
         raise ValueError(
             f"--mesh spec {spec!r} needs {total} devices, "
             f"have {len(devices)}"
+        )
+    if len(devices) % total != 0:
+        import warnings
+
+        warnings.warn(
+            f"--mesh spec {spec!r} uses {total} of {len(devices)} devices; "
+            f"{len(devices) - total} stay idle (use a -1 axis to absorb "
+            f"them)",
+            stacklevel=2,
         )
     return Mesh(
         np.asarray(devices[:total]).reshape(tuple(sizes)), tuple(axes)
@@ -198,6 +209,30 @@ def maybe_distributed_init(logger=None) -> bool:
     return True
 
 
+def is_coordinator() -> bool:
+    """True on the process that owns host-side run-directory writes
+    (checkpoint tree bookkeeping, metrics.csv, dashboard, log files).
+    Process 0 by JAX convention; trivially True single-process."""
+    return jax.process_index() == 0
+
+
+_BARRIER_COUNT = 0
+
+
+def barrier(tag: str) -> None:
+    """Cross-process sync point (no-op single-process).  Used to order
+    host-side filesystem operations against collective ops — e.g. the
+    checkpoint manager's rename-aside must complete on process 0 before
+    any process enters the collective Orbax write."""
+    if jax.process_count() == 1:
+        return
+    global _BARRIER_COUNT
+    _BARRIER_COUNT += 1
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(f"{tag}_{_BARRIER_COUNT}")
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dimension over the data-parallel axes —
     jointly over ('replica', 'data') on a multi-slice hybrid mesh, so every
@@ -237,6 +272,13 @@ def put_global(arr, sharding: NamedSharding):
         return arr  # already placed (e.g. device-resident loader output)
     if jax.process_count() == 1:
         return jax.device_put(arr, sharding)
+    if isinstance(arr, jax.Array):
+        # A device array under a DIFFERENT sharding (e.g. a resident-loader
+        # batch fed through an image_sharding put on a 'space' mesh):
+        # indexing per-shard below would touch non-addressable shards.
+        # Reshard through a compiled identity instead — SPMD-safe, XLA
+        # inserts the collectives.
+        return jax.jit(lambda x: x, out_shardings=sharding)(arr)
     global_shape = arr.shape
     index_map = sharding.addressable_devices_indices_map(global_shape)
     arrays = [jax.device_put(arr[idx], d) for d, idx in index_map.items()]

@@ -79,7 +79,18 @@ class CheckpointManager:
         ``history=False`` skips the ``epoch_NNNN`` retention copy — used by
         the trainer's pre-eval crash-safety save so each epoch's history
         dir is written once (by the post-eval refresh, with fresh gate
-        extras) instead of twice per epoch on slow relay links."""
+        extras) instead of twice per epoch on slow relay links.
+
+        Multi-process: ``save`` is a COLLECTIVE — every process must call
+        it with the same arguments (the Orbax write itself synchronizes
+        processes and the primary writes each replicated array once).
+        The surrounding directory bookkeeping (rename-aside crash guard,
+        history pruning) runs on the coordinator only, ordered against
+        the collective write by an explicit barrier; ``base_path`` must
+        be a filesystem all processes share."""
+        from yolo_v1_tpu.parallel.mesh import barrier, is_coordinator
+
+        coord = is_coordinator()
         payload = self._payload(state)
         payload["epoch"] = epoch
         payload.update(self._EXTRA_DEFAULTS)
@@ -98,9 +109,11 @@ class CheckpointManager:
         # only copy.  Rename the old target aside instead; it is removed
         # once the next write is known durable (the wait above / below).
         # restore()/exists() fall back to the .prev copy.
-        shutil.rmtree(prev, ignore_errors=True)
-        if os.path.isdir(target):
-            os.rename(target, prev)
+        if coord:
+            shutil.rmtree(prev, ignore_errors=True)
+            if os.path.isdir(target):
+                os.rename(target, prev)
+        barrier("ckpt_pre_save")  # rename-aside lands before anyone writes
         self._ckptr.save(target, payload, force=True)
         if history and self.history_keep > 0 and not best and epoch >= 0:
             self._ckptr.wait_until_finished()
@@ -108,10 +121,12 @@ class CheckpointManager:
                 os.path.join(self.base_path, f"epoch_{epoch:04d}"),
                 payload, force=True,
             )
-            self._prune_history(in_flight=epoch)
+            if coord:
+                self._prune_history(in_flight=epoch)
         if block:
             self._ckptr.wait_until_finished()
-            shutil.rmtree(prev, ignore_errors=True)
+            if coord:
+                shutil.rmtree(prev, ignore_errors=True)
 
     def _prune_history(self, in_flight: int) -> None:
         import re as _re
