@@ -515,3 +515,33 @@ def test_gather_rows_pallas_odd_shapes(rng):
             jnp.zeros((4, 9), jnp.int32), jnp.zeros((2,), jnp.int32),
             interpret=True,
         )
+
+
+def test_fused_epilogue_matches_xla_chain(rng):
+    """ops/pallas/fused_epilogue (interpret mode): forward equals the XLA
+    relu(x*scale + shift + res) chain, and the custom VJP equals autodiff
+    of that chain — the correctness pin for the MFU-lever probe
+    (tools/fused_epilogue_probe.py)."""
+    import jax
+
+    from yolo_v1_tpu.ops.pallas.fused_epilogue import fused_epilogue
+
+    x = jnp.asarray(rng.normal(0, 1, (4, 8, 8, 128)).astype(np.float32))
+    res = jnp.asarray(rng.normal(0, 1, (4, 8, 8, 128)).astype(np.float32))
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, 128).astype(np.float32))
+    shift = jnp.asarray(rng.normal(0, 0.1, 128).astype(np.float32))
+
+    def ref(x, res, s, b):
+        return jnp.maximum(x * s + b + res, 0.0)
+
+    got = fused_epilogue(x, res, scale, shift, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref(x, res, scale, shift)), atol=1e-6
+    )
+
+    loss_p = lambda *a: jnp.sum(fused_epilogue(*a, True) ** 2)  # noqa: E731
+    loss_r = lambda *a: jnp.sum(ref(*a) ** 2)  # noqa: E731
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(x, res, scale, shift)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x, res, scale, shift)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
