@@ -15,6 +15,7 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N,
    "int8_imgs_per_sec": N, "train_imgs_per_sec": N, "train_ms_per_step": N,
    "train_e2e_imgs_per_sec": N, "augment_ms_per_batch": N,
+   "s14_train_imgs_per_sec": N, "s14_train_ms_per_step": N,
    "s14_imgs_per_sec": N, "d121_imgs_per_sec": N}
 Everything else goes to stderr.
 
@@ -149,6 +150,8 @@ def main() -> None:
         "train_ms_per_step": 0.0,
         "train_e2e_imgs_per_sec": 0.0,
         "augment_ms_per_batch": 0.0,
+        "s14_train_imgs_per_sec": 0.0,
+        "s14_train_ms_per_step": 0.0,
         "s14_imgs_per_sec": 0.0,
         "d121_imgs_per_sec": 0.0,
     })
@@ -213,6 +216,10 @@ def main() -> None:
         # (argv tail, est seconds, result-key mapping from phase JSON)
         (["--e2e"], 600, {"e2e_ips": "train_e2e_imgs_per_sec",
                           "aug_ms": "augment_ms_per_batch"}),
+        # S=14 TRAIN step (the reference's committed default, train.py:41)
+        # — the at-scale S=14 runs train at this rate.
+        (["--train", "resnet50", "14"], 400,
+         {"ips": "s14_train_imgs_per_sec", "ms": "s14_train_ms_per_step"}),
         (["--serve", "resnet50", "14"], 400, {"ips": "s14_imgs_per_sec"}),
         # DenseNet-121's 120-conv concat graph compiles MUCH slower through
         # the relay (>595 s measured round 4) — budget accordingly.
@@ -238,8 +245,13 @@ def main() -> None:
     _print_results_once()
 
 
-def bench_train_step(batch: int = 128, iters: int = 15) -> tuple[float, float]:
-    """Full train-step throughput (fwd+loss+bwd+SGD+BN), marginal timing."""
+def bench_train_step(
+    batch: int = 128, iters: int = 15, S: int = 7,
+    model_name: str = "resnet50",
+) -> tuple[float, float]:
+    """Full train-step throughput (fwd+loss+bwd+SGD+BN), marginal timing.
+    ``S=14`` benches the reference's committed-default grid (train.py:41)
+    — the shallower no-layer5 trunk on a 4x candidate grid."""
     import jax.numpy as jnp
 
     from yolo_v1_tpu.losses.yolov1 import YoloV1LossConfig
@@ -248,8 +260,7 @@ def bench_train_step(batch: int = 128, iters: int = 15) -> tuple[float, float]:
     from yolo_v1_tpu.train.schedule import make_lr_schedule
     from yolo_v1_tpu.train.state import create_train_state, make_optimizer
 
-    S = 7
-    model = build_model("resnet50", S=S, dtype=jnp.bfloat16)
+    model = build_model(model_name, S=S, dtype=jnp.bfloat16)
     tx = make_optimizer(make_lr_schedule(100, 1e-6, 1000, {1: 1e-3}), "sgd", 0.99)
     state = create_train_state(model, __import__("jax").random.PRNGKey(0),
                                (1, 448, 448, 3), tx)
@@ -269,7 +280,8 @@ def bench_train_step(batch: int = 128, iters: int = 15) -> tuple[float, float]:
     t0 = time.perf_counter()
     state, parts = step(state, *batches[0])
     float(parts["total"])
-    log(f"train compile+first: {time.perf_counter() - t0:.1f}s")
+    log(f"{model_name}-S{S} train compile+first: "
+        f"{time.perf_counter() - t0:.1f}s")
 
     state_box = [state]
 
@@ -285,7 +297,8 @@ def bench_train_step(batch: int = 128, iters: int = 15) -> tuple[float, float]:
     t1 = min(chain(1) for _ in range(2))
     tn = min(chain(iters + 1) for _ in range(2))
     per = (tn - t1) / iters
-    log(f"train: {per * 1e3:.2f}ms/step, {batch / per:.1f} images/sec")
+    log(f"{model_name}-S{S} train: {per * 1e3:.2f}ms/step, "
+        f"{batch / per:.1f} images/sec")
     return batch / per, per * 1e3
 
 
@@ -500,11 +513,16 @@ def _error_json(reason: str) -> None:
 
 
 if __name__ == "__main__":
-    if "--e2e" in sys.argv or "--serve" in sys.argv:
+    if "--e2e" in sys.argv or "--serve" in sys.argv or "--train" in sys.argv:
         from yolo_v1_tpu.utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
-    if "--e2e" in sys.argv:
+    if "--train" in sys.argv:
+        i = sys.argv.index("--train")
+        name, S = sys.argv[i + 1], int(sys.argv[i + 2])
+        ips, ms = bench_train_step(S=S, model_name=name)
+        print(json.dumps({"ips": ips, "ms": ms}))
+    elif "--e2e" in sys.argv:
         try:
             ips, aug = bench_train_e2e()
         except Exception as e:  # bs128 HBM pressure: fall back to bs32
