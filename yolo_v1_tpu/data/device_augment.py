@@ -87,6 +87,12 @@ class DeviceAugmentConfig:
     # TPU, 'take' elsewhere (interpret-mode Pallas on CPU is slow).
     gather_impl: str = "auto"
     warp_chunk: int = 64  # gather-row width (pixels); must divide the image
+    # Pallas-warp column-chunk width (pixels): per-chunk tap windows cover
+    # only the chunk's banded spread (D8 80 -> 40 at 448px), halving the
+    # kernel arithmetic at identical bilinear semantics
+    # (ops/pallas/warp_kernel.py).  0 = one full-row window (round-4
+    # formulation, kept for A/B measurement).
+    warp_col_chunk: int = 128
     # Peak-HBM bound: augment at most this many images at once (lax.map
     # over sub-batches).  The band warp's gather intermediates cost
     # ~0.5 GB/image in XLA temp HBM (AOT memory_analysis: 16.4 GB at bs32
@@ -686,7 +692,8 @@ def augment_and_encode_batch(
             imgs, rs_eff, off_eff, _, xyxy, kpix = pre(keys, imgs, boxes)
             imgs = warp_image_band_pallas(
                 imgs, rs_eff, off_eff,
-                cc_a=cc_a, cc_b=cc_b, cr_max=cr_max, interpret=interp,
+                cc_a=cc_a, cc_b=cc_b, cr_max=cr_max,
+                col_chunk=cfg.warp_col_chunk, interpret=interp,
             )
             post = jax.vmap(partial(_augment_post, cfg=cfg))
             return post(kpix, imgs, xyxy, valid)
