@@ -83,6 +83,26 @@ def main() -> None:
         losses.append(float(parts["total"]))
     print("LOSSES", " ".join(f"{x:.6f}" for x in losses), flush=True)
 
+    # put_global must also RESHARD a jax.Array already placed under a
+    # different sharding (the resident-loader-batch-through-put_img case on
+    # a 'space' mesh): per-shard indexing would touch non-addressable
+    # shards multi-process, so it goes through a compiled identity instead.
+    from yolo_v1_tpu.parallel.mesh import replicated
+
+    space_mesh = mesh_from_spec("data=4,space=2")
+    placed = put_global(images, data_sharding(space_mesh))
+    resharded = put_global(placed, image_sharding(space_mesh))
+    assert resharded.sharding == image_sharding(space_mesh)
+    # Fetch via a replicated copy (the sharded array itself spans the
+    # other process's devices and is not fully addressable here).
+    rep = jax.jit(lambda x: x, out_shardings=replicated(space_mesh))(
+        resharded
+    )
+    import numpy as _np
+
+    _np.testing.assert_array_equal(_np.asarray(rep), images)
+    print("RESHARD_OK", flush=True)
+
 
 def _build_fit_parts(data_dir: str, run_dir: str):
     """Everything cli.cmd_train builds, at test scale (shared by both the

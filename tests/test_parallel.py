@@ -150,6 +150,9 @@ def test_two_process_distributed_train_step(tmp_path):
         line = [ln for ln in out.splitlines() if ln.startswith("LOSSES")]
         assert line, out
         losses.append([float(x) for x in line[0].split()[1:]])
+        # put_global's jax.Array reshard branch (data->image sharding on a
+        # 'space' mesh) verified inside the worker.
+        assert "RESHARD_OK" in out, out
     assert losses[0] == losses[1]
     assert losses[0][-1] < losses[0][0]
 
