@@ -545,3 +545,52 @@ def test_fused_epilogue_matches_xla_chain(rng):
     gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x, res, scale, shift)
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_hsv_sv_shift_matches_roundtrip(rng):
+    """The algebraic S/V shift (no hue computation) vs the full
+    rgb_to_hsv -> shift -> hsv_to_rgb round-trip: identical math for
+    S/V-only shifts, including the v==0 (black) and s==0 (gray,
+    tint-toward-red h=0 convention) edge cases."""
+    from yolo_v1_tpu.data.device_augment import (
+        hsv_sv_shift, hsv_to_rgb, rgb_to_hsv,
+    )
+
+    x = rng.uniform(0, 1, (64, 5, 3)).astype(np.float32)
+    x[0, 0] = 0.0  # black: v == 0
+    x[0, 1] = 0.7  # gray: s == 0
+    x[0, 2] = [0.3, 0.3, 0.9]  # saturated
+    x = jnp.asarray(x)
+    for delta in (-10 / 255, 0.0, 0.1, 50 / 255):
+        for shift_v in (True, False):
+            hsv = rgb_to_hsv(x)
+            ch = 2 if shift_v else 1
+            shifted = hsv.at[..., ch].add(jnp.float32(delta))
+            want = np.asarray(hsv_to_rgb(jnp.clip(shifted, 0.0, 1.0)))
+            got = np.asarray(
+                hsv_sv_shift(x, jnp.float32(delta), jnp.asarray(shift_v))
+            )
+            np.testing.assert_allclose(
+                got, want, atol=3e-6,
+                err_msg=f"delta={delta} shift_v={shift_v}",
+            )
+
+
+def test_pixel_ops_hsv_impls_agree(rng):
+    """The full augment program with hsv_impl='algebraic' vs 'roundtrip'
+    must produce the same batches to f32 rounding (same keys, same ops)."""
+    images, boxes, labels, counts = make_batch(rng, n=4, size=112)
+    outs = {}
+    for impl in ("roundtrip", "algebraic"):
+        cfg = dataclasses.replace(DeviceAugmentConfig(), hsv_impl=impl)
+        outs[impl] = augment_and_encode_batch(
+            jax.random.PRNGKey(11), jnp.asarray(images), jnp.asarray(boxes),
+            jnp.asarray(labels), jnp.asarray(counts), S=7, cfg=cfg,
+        )
+    np.testing.assert_allclose(
+        np.asarray(outs["algebraic"][0]), np.asarray(outs["roundtrip"][0]),
+        atol=1e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs["algebraic"][1]), np.asarray(outs["roundtrip"][1])
+    )

@@ -63,8 +63,15 @@ def main() -> None:
 
     results = {}
     for variant in variants:
-        blur, gather = variant.split(":")
-        cfg = DeviceAugmentConfig(blur_impl=blur, gather_impl=gather)
+        # blur:gather[:hsv[:warp_col_chunk]] — later fields optional.
+        parts = variant.split(":")
+        blur, gather = parts[0], parts[1]
+        hsv = parts[2] if len(parts) > 2 else "algebraic"
+        colchunk = int(parts[3]) if len(parts) > 3 else 128
+        cfg = DeviceAugmentConfig(
+            blur_impl=blur, gather_impl=gather, hsv_impl=hsv,
+            warp_col_chunk=colchunk,
+        )
 
         # AOT gate: real Mosaic lowering + temp-HBM analysis before any
         # on-chip execution.

@@ -93,6 +93,10 @@ class DeviceAugmentConfig:
     # (ops/pallas/warp_kernel.py).  0 = one full-row window (round-4
     # formulation, kept for A/B measurement).
     warp_col_chunk: int = 128
+    # HSV S/V shift implementation: 'algebraic' shifts S or V directly on
+    # RGB (identical math, no hue round-trip — see hsv_sv_shift);
+    # 'roundtrip' keeps rgb_to_hsv/hsv_to_rgb for A/B measurement.
+    hsv_impl: str = "algebraic"
     # Peak-HBM bound: augment at most this many images at once (lax.map
     # over sub-batches).  The band warp's gather intermediates cost
     # ~0.5 GB/image in XLA temp HBM (AOT memory_analysis: 16.4 GB at bs32
@@ -117,6 +121,11 @@ class DeviceAugmentConfig:
                 f"gather_impl must be 'auto', 'take' or 'pallas', "
                 f"got {self.gather_impl!r}"
             )
+        if self.hsv_impl not in ("algebraic", "roundtrip"):
+            raise ValueError(
+                f"hsv_impl must be 'algebraic' or 'roundtrip', "
+                f"got {self.hsv_impl!r}"
+            )
 
 
 # --- color space (values in [0,1]) ---
@@ -138,6 +147,44 @@ def rgb_to_hsv(rgb: Array) -> Array:
     )
     h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
     return jnp.stack([h, s, v], axis=-1)
+
+
+def hsv_sv_shift(x: Array, delta: Array, shift_v: Array) -> Array:
+    """Shift HSV saturation OR value of an RGB image in [0,1] WITHOUT the
+    hue round-trip — algebraically identical to
+    ``hsv_to_rgb(shift(rgb_to_hsv(x)))`` for S/V-only shifts.
+
+    Each channel of ``hsv_to_rgb`` is ``v * (1 - s*k_c)`` with ``k_c``
+    determined by hue alone, so:
+
+    * V-shift (v' = clip(v+d)):  c' = c * v'/v        (hue, sat fixed);
+      v == 0 (black, h=s=0 by rgb_to_hsv convention) -> gray v'.
+    * S-shift (s' = clip(s+d)):  c' = v - (s'/s)(v-c) (hue, val fixed);
+      s == 0 (gray, h=0 convention) -> the reference formulas tint
+      toward red: r'=v, g'=b'=v(1-s').
+
+    ~6 elementwise ops replacing rgb_to_hsv's division/compare chains +
+    hsv_to_rgb's 15-way selects — the augment program's pixel-op block is
+    elementwise-bound on the VPU (round-4 XProf: ~12.7 ms/batch of
+    clip/select chains at bs128).  Agreement with the round-trip is
+    pinned to f32 rounding in test_device_augment.
+    """
+    v = jnp.max(x, axis=-1, keepdims=True)
+    minc = jnp.min(x, axis=-1, keepdims=True)
+    s = jnp.where(v > 0, (v - minc) / jnp.where(v > 0, v, 1.0), 0.0)
+    # value shift
+    v2 = jnp.clip(v + delta, 0.0, 1.0)
+    x_v = jnp.where(v > 0, x * (v2 / jnp.where(v > 0, v, 1.0)), v2)
+    # saturation shift
+    s2 = jnp.clip(s + delta, 0.0, 1.0)
+    ratio = s2 / jnp.where(s > 0, s, 1.0)
+    x_s = jnp.where(s > 0, v - ratio * (v - x), x)
+    # s==0 tint-to-red convention (h=0): r'=v, g'=b'=v*(1-s2)
+    gray_r = jnp.concatenate(
+        [v, v * (1.0 - s2), v * (1.0 - s2)], axis=-1
+    )
+    x_s = jnp.where(s > 0, x_s, gray_r)
+    return jnp.where(shift_v, x_v, x_s)
 
 
 def hsv_to_rgb(hsv: Array) -> Array:
@@ -517,15 +564,25 @@ def _pixel_ops(key: Array, img: Array, cfg: DeviceAugmentConfig) -> Array:
     out = jnp.where(
         (gate & act[5]) & rep[..., None], salt[..., None], out
     )
-    # HSV S or V shift
-    which = jax.random.uniform(keys[11]) < 0.5
+    # HSV S or V shift.  'algebraic' (default) shifts S/V directly on the
+    # RGB values — identical math to the hsv round-trip for S/V-only
+    # shifts (see hsv_sv_shift) without the hue computation's
+    # division/select chains; 'roundtrip' keeps the full conversion for
+    # A/B measurement.
+    which = jax.random.uniform(keys[11]) < 0.5  # True -> saturation shift
     delta = jax.random.uniform(
         keys[12], minval=cfg.hsv_shift[0], maxval=cfg.hsv_shift[1]
     )
-    hsv = rgb_to_hsv(jnp.clip(out, 0.0, 1.0))
-    hsv_s = hsv.at[..., 1].add(delta)
-    hsv_v = hsv.at[..., 2].add(delta)
-    shifted = hsv_to_rgb(jnp.clip(jnp.where(which, hsv_s, hsv_v), 0.0, 1.0))
+    clipped = jnp.clip(out, 0.0, 1.0)
+    if cfg.hsv_impl == "algebraic":
+        shifted = hsv_sv_shift(clipped, delta, shift_v=~which)
+    else:
+        hsv = rgb_to_hsv(clipped)
+        hsv_s = hsv.at[..., 1].add(delta)
+        hsv_v = hsv.at[..., 2].add(delta)
+        shifted = hsv_to_rgb(
+            jnp.clip(jnp.where(which, hsv_s, hsv_v), 0.0, 1.0)
+        )
     out = jnp.where(gate & act[6], shifted, out)
     # gaussian blur (imgaug GaussianBlur sigma 2-3.5, :40)
     blur_impl = _resolve_blur_impl(cfg.blur_impl)
