@@ -53,10 +53,12 @@ def main() -> None:
     scale = jnp.asarray(rng.uniform(0.5, 1.5, Cout).astype(np.float32))
     shift = jnp.asarray(rng.normal(0, 0.1, Cout).astype(np.float32))
 
+    # Pure-bf16 conv (f32 MXU accumulation is implicit on TPU): a mixed
+    # f32 cotangent into the bf16 transposed conv is a dtype error in the
+    # grad variants otherwise.
     conv = lambda x, k: jax.lax.conv_general_dilated(  # noqa: E731
         x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.bfloat16)
+    )
 
     def xla_epi(y, res, s, b):
         return jnp.maximum(
