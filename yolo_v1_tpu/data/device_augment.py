@@ -168,9 +168,16 @@ def hsv_sv_shift(x: Array, delta: Array, shift_v: Array) -> Array:
     elementwise-bound on the VPU (round-4 XProf: ~12.7 ms/batch of
     clip/select chains at bs128).  Agreement with the round-trip is
     pinned to f32 rounding in test_device_augment.
+
+    The channel max/min deliberately AVOID ``jnp.max(axis=-1)``: a
+    3-element minor-axis reduce lowered to 11.7 ms/batch at bs128 on v5e
+    (round-5 XProf — reduce_max + reduce_min were 24% of the whole
+    augment program), while an elementwise maximum chain over the three
+    channel slices fuses into the surrounding elementwise ops.
     """
-    v = jnp.max(x, axis=-1, keepdims=True)
-    minc = jnp.min(x, axis=-1, keepdims=True)
+    r, g, b = x[..., 0:1], x[..., 1:2], x[..., 2:3]
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
     s = jnp.where(v > 0, (v - minc) / jnp.where(v > 0, v, 1.0), 0.0)
     # value shift
     v2 = jnp.clip(v + delta, 0.0, 1.0)
