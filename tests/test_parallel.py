@@ -82,6 +82,23 @@ def test_mesh_from_spec_rejects_bad_specs():
         mesh_from_spec("data")
 
 
+def test_mesh_from_spec_warns_on_idle_devices():
+    """A spec whose product doesn't divide the device count runs on a
+    subset — allowed, but loudly (ADVICE r4: the docstring used to claim
+    divisibility was enforced)."""
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mesh = mesh_from_spec("data=3")  # 8 virtual devices -> 5 idle
+    assert mesh.devices.size == 3
+    assert any("idle" in str(x.message) for x in w), [str(x.message) for x in w]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mesh_from_spec("data=4")  # divides: no warning
+    assert not w
+
+
 def test_image_sharding_adds_space_axis():
     from jax.sharding import PartitionSpec as P
 
