@@ -169,3 +169,127 @@ def test_conv1x1_dot_matches_conv_lowering():
             np.asarray(g_d["params"]["kernel"]),
             np.asarray(g_c["params"]["kernel"]), rtol=1e-4, atol=1e-4,
         )
+
+
+def test_pallas_epilogue_matches_xla_epilogue():
+    """epilogue='pallas' (fused BN-apply+add+relu kernel, interpret mode
+    on CPU) vs the 'xla' reference formulation: identical param/stat
+    trees; BLOCK-level value_and_grad matches tightly (Bottleneck and
+    BasicBlock — the unit where the kernel + custom VJP live); the full
+    model's forward matches to compounded-f32 tolerance.  (A full-model
+    GRAD comparison is chaotic at test scale: 1x1 deep-stage maps put
+    relu pre-activations at the boundary, and a single flipped mask
+    decorrelates early-layer grads between two bit-different but equally
+    correct formulations.)"""
+    import jax
+    import numpy as np
+
+    from yolo_v1_tpu.models.registry import build_model
+    from yolo_v1_tpu.models.resnet import BasicBlock, Bottleneck
+
+    rng = np.random.default_rng(3)
+    # Block-level: fwd + grads + stats, tight.
+    for cls, ch in ((Bottleneck, 64), (BasicBlock, 16)):
+        x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, ch)).astype(np.float32))
+        outs, grads, stats = {}, {}, {}
+        for impl in ("xla", "pallas"):
+            m = cls(planes=16, stride=1, dtype=jnp.float32, epilogue=impl)
+            v = m.init(jax.random.PRNGKey(0), x[:1], train=False)
+
+            def loss_fn(params, m=m, v=v):
+                out, mut = m.apply(
+                    {"params": params, "batch_stats": v["batch_stats"]},
+                    x, train=True, mutable=["batch_stats"],
+                )
+                return jnp.sum(out.astype(jnp.float32) ** 2), (out, mut)
+
+            (_, (out, mut)), g = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(v["params"])
+            outs[impl], grads[impl], stats[impl] = out, g, mut
+        np.testing.assert_allclose(
+            np.asarray(outs["pallas"]), np.asarray(outs["xla"]), atol=1e-5
+        )
+        for a, b in zip(
+            jax.tree.leaves(grads["pallas"]), jax.tree.leaves(grads["xla"])
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3
+            )
+        for a, b in zip(
+            jax.tree.leaves(stats["pallas"]), jax.tree.leaves(stats["xla"])
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # Full model: same tree, forward agreement.
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    models = {
+        impl: build_model("resnet50", S=7, dtype=jnp.float32, epilogue=impl)
+        for impl in ("xla", "pallas")
+    }
+    vars_ = {
+        impl: m.init(jax.random.PRNGKey(0), x[:1], train=False)
+        for impl, m in models.items()
+    }
+    assert jax.tree_util.tree_structure(
+        vars_["xla"]
+    ) == jax.tree_util.tree_structure(vars_["pallas"])
+    outs = {
+        impl: m.apply(vars_["xla"], x, train=False)
+        for impl, m in models.items()
+    }
+    np.testing.assert_allclose(
+        np.asarray(outs["pallas"]), np.asarray(outs["xla"]), atol=2e-3
+    )
+
+
+def test_bn_scale_shift_matches_flax_batchnorm():
+    """BNScaleShift's (scale, shift) fold must reproduce flax BatchNorm
+    EXACTLY on one module: same normalized output (to f32 rounding of the
+    fold), same updated running stats, train and eval."""
+    import jax
+    import numpy as np
+    from flax import linen as nn
+
+    from yolo_v1_tpu.models.common import BNScaleShift, batch_norm
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(1.5, 2.0, (8, 6, 6, 32)).astype(np.float32))
+    bn = batch_norm(train=True)
+    v_bn = bn.init(jax.random.PRNGKey(0), x)
+    ss = BNScaleShift()
+    v_ss = ss.init(jax.random.PRNGKey(0), x, train=True)
+    # give both non-trivial gamma/beta
+    params = {
+        "scale": jnp.asarray(rng.uniform(0.5, 1.5, 32).astype(np.float32)),
+        "bias": jnp.asarray(rng.normal(0, 0.3, 32).astype(np.float32)),
+    }
+    stats0 = {
+        "mean": jnp.asarray(rng.normal(0, 1, 32).astype(np.float32)),
+        "var": jnp.asarray(rng.uniform(0.5, 2, 32).astype(np.float32)),
+    }
+    y_bn, mut_bn = bn.apply(
+        {"params": params, "batch_stats": stats0}, x, mutable=["batch_stats"]
+    )
+    (scale, shift), mut_ss = ss.apply(
+        {"params": params, "batch_stats": stats0}, x, train=True,
+        mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(x * scale + shift), np.asarray(y_bn), atol=2e-5
+    )
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(mut_ss["batch_stats"][k]),
+            np.asarray(mut_bn["batch_stats"][k]), rtol=1e-5, atol=1e-5,
+            err_msg=k,
+        )
+    # eval mode: running stats, no mutation
+    bn_eval = batch_norm(train=False)
+    y_e = bn_eval.apply({"params": params, "batch_stats": stats0}, x)
+    scale_e, shift_e = ss.apply(
+        {"params": params, "batch_stats": stats0}, x, train=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(x * scale_e + shift_e), np.asarray(y_e), atol=2e-5
+    )

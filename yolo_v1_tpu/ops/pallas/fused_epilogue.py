@@ -54,7 +54,8 @@ def _call_rows(kernel, outs, *ins, interpret: bool):
     per-channel vectors broadcast as (1, C) blocks."""
     P, C = ins[0].shape
     blk = min(ROWS_BLK, P)
-    assert P % blk == 0, (P, blk)
+    while P % blk:  # largest divisor of P <= ROWS_BLK (e.g. 896 for 14x14
+        blk -= 1    # feature maps at bs128: 128*14*14 = 25088 = 896*28)
     specs = []
     for a in ins:
         if a.ndim == 1:
