@@ -38,6 +38,72 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def step_mode(bs: int, impls) -> None:
+    """FULL bs-`bs` resnet50-S7 train step with epilogue='xla' vs
+    'pallas' — the measurement that decides the model default (the
+    Conv1x1Dot precedent: isolated wins can invert inside the full
+    step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_v1_tpu.losses.yolov1 import YoloV1LossConfig
+    from yolo_v1_tpu.models.registry import build_model
+    from yolo_v1_tpu.train.loop import jit_train_step
+    from yolo_v1_tpu.train.schedule import make_lr_schedule
+    from yolo_v1_tpu.train.state import create_train_state, make_optimizer
+    from yolo_v1_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(0)
+    tgt = np.zeros((bs, 7, 7, 30), np.float32)
+    tgt[:, 3, 3, 0:2] = 1.0
+    tgt[:, 3, 3, 2:10] = 0.5
+    tgt[:, 3, 3, 13] = 1.0
+    batches = [
+        (jnp.asarray(rng.normal(0, 1, (bs, 448, 448, 3)).astype(np.float32)),
+         jnp.asarray(tgt))
+        for _ in range(2)
+    ]
+    for impl in impls:
+        model = build_model(
+            "resnet50", S=7, dtype=jnp.bfloat16, epilogue=impl
+        )
+        tx = make_optimizer(
+            make_lr_schedule(100, 1e-6, 1000, {1: 1e-3}), "sgd", 0.99
+        )
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), (1, 448, 448, 3), tx
+        )
+        step = jit_train_step(YoloV1LossConfig(S=7), mesh=None)
+        t0 = time.perf_counter()
+        state, parts = step(state, *batches[0])
+        loss0 = float(parts["total"])
+        log(f"epilogue={impl}: compile+first {time.perf_counter() - t0:.1f}s "
+            f"loss {loss0:.4f}")
+        box = [state]
+
+        def chain(n):
+            t0 = time.perf_counter()
+            st, parts = box[0], None
+            for i in range(n):
+                st, parts = step(st, *batches[i % 2])
+            float(parts["total"])
+            box[0] = st
+            return time.perf_counter() - t0
+
+        t1 = min(chain(1) for _ in range(2))
+        tn = min(chain(16) for _ in range(2))
+        ms = (tn - t1) / 15 * 1e3
+        print(
+            f"STEP epilogue={impl}: {ms:.2f} ms/step, "
+            f"{bs / (ms / 1e3):.1f} img/s (bs{bs})"
+        )
+        del state, step, model, box
+        import gc
+
+        gc.collect()
+
+
 def main() -> None:
     import jax  # noqa: E402
     import jax.numpy as jnp  # noqa: E402
@@ -163,4 +229,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--step" in sys.argv:
+        pos = [a for a in sys.argv[1:] if a.isdigit()]
+        impls = [a for a in sys.argv[1:] if a in ("xla", "pallas")] or [
+            "xla", "pallas"
+        ]
+        step_mode(int(pos[0]) if pos else 128, impls)
+    else:
+        main()
