@@ -27,7 +27,14 @@ import jax.numpy as jnp
 from jax import Array
 from jax.experimental import pallas as pl
 
-ROWS_BLK = 1024  # flattened pixels per grid step
+ROWS_BLK = 1024  # flattened pixels per grid step (cap; see _call_rows)
+# Per-tensor VMEM budget per block: the kernel holds x/res/y (+dy in the
+# backward) double-buffered, so blk*C elements must stay well under the
+# 16 MB VMEM — 128K f32 elements (0.5 MB) per tensor keeps the worst case
+# (4 tensors x 2 buffers) at 4 MB.  At C=2048 (ResNet layer4/5 exits)
+# this caps blk at 64 rows; an uncapped 1024-row block was a measured
+# remote-compile failure at bs128.
+MAX_BLK_ELEMS = 128 * 1024
 
 
 def _fwd_kernel(x_ref, r_ref, s_ref, b_ref, y_ref):
@@ -53,9 +60,9 @@ def _call_rows(kernel, outs, *ins, interpret: bool):
     """Run an elementwise row kernel over [P, C] tensors; [C]-shaped
     per-channel vectors broadcast as (1, C) blocks."""
     P, C = ins[0].shape
-    blk = min(ROWS_BLK, P)
-    while P % blk:  # largest divisor of P <= ROWS_BLK (e.g. 896 for 14x14
-        blk -= 1    # feature maps at bs128: 128*14*14 = 25088 = 896*28)
+    blk = max(1, min(ROWS_BLK, P, MAX_BLK_ELEMS // C))
+    while P % blk:  # largest divisor of P under the cap (e.g. 56 for the
+        blk -= 1    # C=2048 14x14 maps at bs128: 25088 = 56*448)
     specs = []
     for a in ins:
         if a.ndim == 1:
