@@ -44,9 +44,11 @@ def _pipeline_config(cfg: ExperimentConfig) -> PipelineConfig:
 
 def _build_state(cfg: ExperimentConfig, steps_per_epoch: int, logger=None):
     dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
-    # Pass remat to any backbone; unsupported ones raise (never a silent
-    # no-op that would later OOM without explanation).
+    # Pass remat/epilogue to any backbone; unsupported ones raise (never a
+    # silent no-op that would later OOM without explanation).
     kwargs = {"remat": True} if cfg.remat else {}
+    if cfg.epilogue_impl != "xla":
+        kwargs["epilogue"] = cfg.epilogue_impl
     model = build_model(
         cfg.backbone, S=cfg.S, B=cfg.B, num_classes=cfg.num_classes,
         dtype=dtype, **kwargs,

@@ -48,6 +48,12 @@ class ExperimentConfig:
     blur_impl: str = "auto"
     gather_impl: str = "auto"
     remat: bool = False
+    # ResNet-family block-exit implementation: 'xla' (reference
+    # formulation) | 'pallas' (fused BN-apply+add+relu kernel,
+    # ops/pallas/fused_epilogue — measured 2.4x over XLA's fusion of the
+    # chain at the layer1 shape; step-level delta in DESIGN.md).
+    # Unsupported backbones raise loudly, like remat.
+    epilogue_impl: str = "xla"
 
     # optimization (train.py:37-39, 83-89; batch 16 for resnet train.py:68)
     optimizer: str = "sgd"
@@ -164,6 +170,11 @@ class ExperimentConfig:
             raise ValueError(
                 f"gather_impl must be 'auto', 'take' or 'pallas', "
                 f"got {self.gather_impl!r}"
+            )
+        if self.epilogue_impl not in ("xla", "pallas"):
+            raise ValueError(
+                f"epilogue_impl must be 'xla' or 'pallas', got "
+                f"{self.epilogue_impl!r}"
             )
         if self.worker_mode not in ("thread", "process"):
             raise ValueError(
