@@ -60,9 +60,21 @@ def _call_rows(kernel, outs, *ins, interpret: bool):
     """Run an elementwise row kernel over [P, C] tensors; [C]-shaped
     per-channel vectors broadcast as (1, C) blocks."""
     P, C = ins[0].shape
-    blk = max(1, min(ROWS_BLK, P, MAX_BLK_ELEMS // C))
-    while P % blk:  # largest divisor of P under the cap (e.g. 56 for the
-        blk -= 1    # C=2048 14x14 maps at bs128: 25088 = 56*448)
+    # Mosaic requires the block's sublane dim divisible by 8 OR equal to
+    # the array dim.  Largest 8-multiple divisor of P under the VMEM cap
+    # (e.g. 64 for the C=2048 14x14 maps at bs128: 25088 = 64*392);
+    # small/odd P (the bs-1 init shapes: 196, 49) fall back to one
+    # whole-array block, which Mosaic accepts at any size that fits VMEM.
+    blk = min(ROWS_BLK, P, max(8, MAX_BLK_ELEMS // C))
+    blk -= blk % 8
+    while blk >= 8 and P % blk:
+        blk -= 8
+    if blk < 8 or P % blk:
+        if P * C > 8 * MAX_BLK_ELEMS:  # 4 MB f32: give a real error, not
+            raise ValueError(          # a Mosaic VMEM failure downstream
+                f"fused_epilogue: no tileable block for P={P}, C={C}"
+            )
+        blk = P
     specs = []
     for a in ins:
         if a.ndim == 1:
